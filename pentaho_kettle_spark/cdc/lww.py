@@ -1,0 +1,102 @@
+"""Last-writer-wins collapse of a change-event batch — one row per key.
+
+Semantics (the engine-wide contract, shared with the pandas oracle in
+fixtures/changelog_gen.py): the winner for a key is the event with the
+lexicographically greatest `(ts, seq)`. This makes replay order-insensitive —
+any partitioning, batching, duplication, or resume point yields the same
+winner — which is what turns at-least-once delivery into exactly-once effect.
+
+Implementation notes (scale):
+  * `max_by(struct(all), struct(ts, seq))` — a single hash aggregate with
+    map-side partial aggregation (Catalyst ObjectHashAggregate). Duplicates
+    and stale events die in the partial aggregate on the map side, BEFORE the
+    shuffle — at 10^10 events with 1% duplicates and heavy update churn, most
+    bytes never cross the network.
+  * Skew: the key is (conv_id, turn_idx), so a hot conversation spreads over
+    its turn_idx values; true residual skew (one hot *turn* updated millions
+    of times) is handled by the explicit salted two-phase variant
+    (`lww_collapse_salted`) — phase 1 aggregates (key, salt) partitions,
+    phase 2 reduces the ≤ n_salts survivors per key. Partial aggregation
+    already gives most of this for free; the two-phase form guarantees it
+    even when the map-side hash table overflows (spark falls back to
+    sort-agg) and is what BASELINE.json#north_rule asks for explicitly.
+
+Kettle parity: this collapse replaces the sorted-input Unique Rows step
+(uniquerows/UniqueRows.java) + Merge Rows flag logic the reference would
+chain to deduplicate a change stream (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lww_collapse(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    lww_col: str = "ts",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Collapse to one winning event per key by max (lww_col, seq_col).
+
+    Output columns: key cols + all payload cols + op + `_seq` (winner's seq),
+    ready for ParquetSnapshotTableIO.merge_apply.
+    """
+    key_cols = key_cols or ["conv_id", "turn_idx"]
+    payload = [c for c in events.columns if c not in key_cols]
+    ordk = F.struct(F.col(lww_col), F.col(seq_col))
+    agg = events.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w"),
+        F.max(F.col(seq_col)).alias("_max_seq_seen"),
+    )
+    cols = [F.col(k) for k in key_cols]
+    cols += [F.col(f"w.{c}").alias(c) for c in payload if c != seq_col]
+    cols += [F.col(f"w.{seq_col}").alias("_seq")]
+    return agg.select(*cols)
+
+
+def lww_collapse_salted(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    lww_col: str = "ts",
+    seq_col: str = "seq",
+    n_salts: int = 16,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Two-phase salted collapse for hot keys (north_rule requirement).
+
+    Phase 1: aggregate on (key, salt) — a hot key's events split across
+    `n_salts` reducers, bounding any single task.
+    Phase 2: aggregate the ≤ n_salts phase-1 winners per key (tiny).
+
+    If `hot_keys` (a small DataFrame of key cols, e.g. from sampled counts —
+    see cdc/skew.py) is given, only those keys are salted and the rest take
+    the single-phase path, then the two legs union. With hot_keys=None all
+    keys are salted (uniform two-phase).
+    """
+    key_cols = key_cols or ["conv_id", "turn_idx"]
+
+    if hot_keys is not None:
+        hk = F.broadcast(hot_keys.select(*key_cols).distinct().withColumn("_hot", F.lit(True)))
+        tagged = events.join(hk, on=key_cols, how="left")
+        hot = tagged.filter(F.col("_hot").isNotNull()).drop("_hot")
+        cold = tagged.filter(F.col("_hot").isNull()).drop("_hot")
+        hot_out = lww_collapse_salted(hot, key_cols, lww_col, seq_col, n_salts, None)
+        cold_out = lww_collapse(cold, key_cols, lww_col, seq_col)
+        return hot_out.unionByName(cold_out)
+
+    payload = [c for c in events.columns if c not in key_cols]
+    ordk = F.struct(F.col(lww_col), F.col(seq_col))
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w")
+    )
+    ordk2 = F.struct(F.col(f"w.{lww_col}"), F.col(f"w.{seq_col}"))
+    phase2 = phase1.groupBy(*key_cols).agg(F.max_by(F.col("w"), ordk2).alias("w"))
+    cols = [F.col(k) for k in key_cols]
+    cols += [F.col(f"w.{c}").alias(c) for c in payload if c != seq_col]
+    cols += [F.col(f"w.{seq_col}").alias("_seq")]
+    return phase2.select(*cols)
