@@ -1,0 +1,120 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus the CDC merge-apply replay
+throughput (the BASELINE.json#metric proxy).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_EVENTS = int(os.environ.get("PKS_BENCH_EVENTS", "1000000"))
+BENCH_CONVS = int(os.environ.get("PKS_BENCH_CONVS", "20000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "multiway_join_agg",
+    "merge_rows_diff",
+    "cdc_lww_collapse",
+    "top_k",
+    "denormaliser_pivot",
+    "unique_rows",
+    "stream_lookup",
+    "minhash_dedup",
+    "embedding_topk",
+]
+
+
+def _cached_changelog(spark):
+    """Deterministic bench change log, generated once and cached as parquet."""
+    cache = f"/tmp/pks_bench_cache/changelog_e{BENCH_EVENTS}_c{BENCH_CONVS}_s42"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
+        from pentaho_kettle_spark.fixtures.changelog_gen import gen_changelog
+
+        pdf = gen_changelog(BENCH_EVENTS, BENCH_CONVS, seed=42)
+        spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    return cache
+
+
+def _bench_cdc(spark) -> dict:
+    import shutil
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA, read_changelog
+    from pentaho_kettle_spark.cdc.replay import replay_changelog
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    cache = _cached_changelog(spark)
+    log = read_changelog(spark, cache)
+    n_delivered = log.count()  # warms the file listing too
+
+    root = tempfile.mkdtemp(prefix="pks_bench_tbl_")
+    table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32)
+    table.init_empty(
+        T.StructType(
+            [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
+        )
+    )
+    t0 = time.time()
+    replay_changelog(spark, table, log, n_batches=4, salted=True, n_salts=16, run_id="bench")
+    wall = time.time() - t0
+    rows = table.read().count()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "events": n_delivered,
+        "replay_sec": round(wall, 2),
+        "events_per_sec": round(n_delivered / wall, 1),
+        "final_rows": rows,
+        "batches": 4,
+        "salted": True,
+    }
+
+
+def main() -> None:
+    from pentaho_kettle_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="pks-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm-up: JIT + file listing
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    cdc = _bench_cdc(spark)
+
+    out = {
+        "metric": "headline_suite_plus_cdc_replay",
+        "value": round(sum(timings.values()) + cdc["replay_sec"], 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

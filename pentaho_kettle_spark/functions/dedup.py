@@ -1,0 +1,252 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes:
+  * Exact: hash-groupBy — one shuffle on a 64-bit hash, never on raw text.
+  * MinHash+LSH: shingle → K minhashes → B bands → self-join on
+    (band_id, band_hash) buckets. The candidate join is equi (hash-join),
+    NOT an all-pairs cross join; only in-bucket pairs are verified. This is
+    the 100 TB path: cost ∝ Σ bucket² instead of n².
+  * SimHash: 64-bit sign-aggregated shingle hashes; near-dups differ in few
+    bits — banded by 16-bit chunks for candidate generation.
+  * All shingling/hashing is Catalyst higher-order functions (transform /
+    aggregate) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: pmod(h, p) < 2^31 and coeff < 2^31 keep every
+# intermediate product under 2^62 — no int64 overflow under ANSI mode.
+_MERSENNE = (1 << 31) - 1
+
+
+def _normalize(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _shingles(col: Column, k: int = 5) -> Column:
+    """Word k-shingles → array of 64-bit hashes."""
+    words = F.split(_normalize(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))))
+        ),
+    ).otherwise(F.array(F.xxhash64(_normalize(col))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per normalized-text hash (lowest id wins — deterministic)."""
+    h = F.xxhash64(_normalize(F.col(text_col)))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .join(df, on=id_col, how="inner")
+        .drop("_h")
+    )
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(42)
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, k_shingle: int = 5) -> Column:
+    """MinHash signature as an array column: per hash i, min over shingles of
+    (a_i*h + b_i) mod p. Coefficients are fixed (seeded) literals — identical
+    across executors. For large corpora prefer `minhash_signatures_exploded`
+    (explode + hash-agg stays in whole-stage codegen; nested higher-order
+    transforms do not)."""
+    sh = _shingles(col, k_shingle)
+    sigs = [
+        F.array_min(
+            F.transform(sh, lambda h: (F.pmod(h, F.lit(_MERSENNE)) * a + b) % _MERSENNE)
+        )
+        for a, b in _minhash_coeffs(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures_exploded(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k_shingle: int
+) -> DataFrame:
+    """Scale path: one row per doc with h0..h{n-1} minhash columns, computed
+    by exploding shingles and hash-aggregating per id — map-side partial mins
+    shrink the shuffle to num_hashes longs per doc."""
+    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle)).alias("_s"))
+    ex = ex.withColumn("_sm", F.pmod(F.col("_s"), F.lit(_MERSENNE)))
+    aggs = [
+        F.min((F.col("_sm") * a + b) % _MERSENNE).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """Near-duplicate clusters via banded MinHash LSH. Returns (id, dup_of)
+    pairs where dup_of is the smallest id sharing a band bucket (candidate
+    near-dup). Union-find over connected components is left to the caller
+    (or iterate pairs→min-label to convergence for full clustering)."""
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, k_shingle)
+    band_rows = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    # min id per (band, bucket) = cluster representative candidate
+    rep = band_rows.groupBy("band", "bucket").agg(F.min(id_col).alias("_rep"))
+    pairs = (
+        band_rows.join(rep, on=["band", "bucket"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col), F.col("_rep").alias("dup_of"))
+        .groupBy(id_col)
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+    return pairs
+
+
+def minhash_lsh_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+    """Convenience: drop near-duplicates, keeping each cluster's smallest id."""
+    dups = minhash_lsh_dedup(df, text_col, id_col, **kw)
+    return df.join(dups.select(id_col), on=id_col, how="left_anti")
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3) -> DataFrame:
+    """64-bit SimHash per doc: explode shingles, per-bit ±1 vote sums as 64
+    hash-agg columns (all shift amounts are literals → whole-stage codegen),
+    then reassemble the sign pattern into one long. Map-side partial sums
+    make the shuffle 64 longs per doc regardless of doc length."""
+    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle)).alias("_s"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("_s"), b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        bitval = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        out = out.bitwiseOR(F.when(F.col(f"v{b}") > 0, bitval).otherwise(F.lit(0).cast("long")))
+    return agg.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: band the 64-bit simhash into 4×16-bit chunks
+    (pigeonhole: ≤3 differing bits ⇒ ≥1 identical chunk), bucket-join, then
+    verify by full hamming distance."""
+    base = simhash_table(df, text_col, id_col).withColumnRenamed("simhash", "_sh")
+    chunks = base.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("chunk"),
+                         F.shiftrightunsigned(F.col("_sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+                for i in range(4)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "_sh", "cc.chunk", "cc.v")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.chunk") == F.col("r.chunk")) & (F.col("l.v") == F.col("r.v"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                simhash_hamming(F.col("l._sh"), F.col("r._sh")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    min_jaccard: float = 0.8,
+    max_shingles_per_doc: int = 512,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-free inverted-index candidates: explode
+    shingles → co-occurrence counts per pair → |A∩B| / (|A|+|B|-|A∩B|).
+    The shingle cap bounds the explode fan-out (log what was dropped at call
+    sites). Suited to verifying LSH candidates or small-to-medium corpora;
+    at full scale run it on minhash_lsh candidates only."""
+    sh = F.slice(_shingles(F.col(text_col), k_shingle), 1, max_shingles_per_doc)
+    base = df.select(F.col(id_col), sh.alias("_sh")).withColumn("_n", F.size("_sh"))
+    ex = base.select(id_col, "_n", F.explode("_sh").alias("_s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                 F.col("a._n").alias("na"), F.col("b._n").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    )
+    return jac.filter(F.col("jaccard") >= min_jaccard).select("id_a", "id_b", "jaccard")
+
+
+def embedding_cosine_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    n_lsh_planes: int = 12,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH bucketing + exact
+    cosine verify inside buckets (see functions/similarity.py for the
+    plane construction)."""
+    from pentaho_kettle_spark.functions.similarity import (
+        cosine_expr,
+        hyperplane_bucket,
+    )
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    dim = len(base.select(vec_col).first()[0])
+    bucketed = base.withColumn("_bkt", hyperplane_bucket(F.col(vec_col), dim, n_lsh_planes))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    return pairs

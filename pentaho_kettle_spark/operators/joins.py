@@ -1,0 +1,182 @@
+"""Joins & lookups (SURVEY §2.3).
+
+Reference kernels: mergejoin/MergeJoin.java (sort-merge, pre-sorted inputs),
+multimerge/MultiMergeJoin.java, streamlookup/StreamLookup.java (in-memory
+hash probe), joinrows/JoinRows.java (cartesian + Condition = nested-loop
+theta join, spills to temp files), fuzzymatch/FuzzyMatch.java,
+databaselookup/DatabaseLookup.java, closure/ClosureGenerator.java.
+
+Spark-first: no pre-sorting, no manual hash tables — Catalyst picks
+SMJ/BHJ/SHJ; `stream_lookup` pins the broadcast-hash plan explicitly since
+the lookup side is small by contract (that's the Kettle step's own memory
+model). Semi/anti joins (absent in Kettle, composed by users via
+lookup+filter) are exposed directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | list[tuple[str, str]],
+    how: str = "inner",  # inner | left | right | full
+) -> DataFrame:
+    """Equi-join, INNER/LEFT/RIGHT/FULL OUTER. keys: shared names or
+    (left_key, right_key) pairs. No pre-sort required (MergeJoin.java made
+    the user sort both inputs; Catalyst sorts/broadcasts as the stats say)."""
+    how = {"full": "full_outer"}.get(how, how)
+    if keys and isinstance(keys[0], tuple):
+        cond = None
+        for lk, rk in keys:
+            c = left[lk] == right[rk]
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, how)
+    return left.join(right, on=list(keys), how=how)
+
+
+def multi_merge_join(dfs: list[DataFrame], keys: list[str], how: str = "inner") -> DataFrame:
+    """n-way equi-join; Catalyst/CBO reorders the chain."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.join(d, on=keys, how={"full": "full_outer"}.get(how, how))
+    return out
+
+
+def stream_lookup(
+    stream: DataFrame,
+    lookup: DataFrame,
+    keys: list[str] | list[tuple[str, str]],
+    retrieve: dict[str, object] | list[str],
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Broadcast-hash lookup with per-field defaults on miss.
+
+    retrieve: fields to pull from the lookup side (list, or {field: default}).
+    The broadcast hint IS the step's semantics — StreamLookup.java loads the
+    whole lookup stream into one in-process hash map, i.e. it is only correct
+    when the lookup side fits in memory; broadcast makes that contract explicit
+    and removes the shuffle of the big side entirely.
+    """
+    if isinstance(retrieve, dict):
+        defaults = {**retrieve, **(defaults or {})}
+        retrieve = list(retrieve.keys())
+    defaults = defaults or {}
+    if keys and isinstance(keys[0], tuple):
+        lk_cols = [rk for _, rk in keys]
+        lkp = lookup.select(*lk_cols, *retrieve)
+        cond = None
+        for lk, rk in keys:
+            c = stream[lk] == lkp[rk]
+            cond = c if cond is None else (cond & c)
+        out = stream.join(F.broadcast(lkp), cond, "left").drop(*lk_cols)
+    else:
+        lkp = lookup.select(*keys, *retrieve)
+        out = stream.join(F.broadcast(lkp), on=list(keys), how="left")
+    for f in retrieve:
+        if f in defaults and defaults[f] is not None:
+            out = out.withColumn(f, F.coalesce(F.col(f), F.lit(defaults[f])))
+    return out
+
+
+def join_rows_cartesian(
+    left: DataFrame, right: DataFrame, condition: Column | str | None = None
+) -> DataFrame:
+    """JoinRows: cross join + optional Condition → theta join. Catalyst plans
+    BroadcastNestedLoopJoin when one side is small; the reference spilled the
+    cached side to temp files instead."""
+    if condition is None:
+        return left.crossJoin(right)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    return left.join(right, cond, "inner")
+
+
+def semi_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    return left.join(right, on=keys, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    return left.join(right, on=keys, how="left_anti")
+
+
+def fuzzy_match(
+    stream: DataFrame,
+    lookup: DataFrame,
+    stream_field: str,
+    lookup_field: str,
+    algorithm: str = "levenshtein",  # levenshtein | jaro | jaro_winkler | soundex
+    max_distance: int | None = None,
+    min_similarity: float | None = None,
+    match_field: str = "match",
+    score_field: str = "score",
+) -> DataFrame:
+    """Nearest-string lookup: broadcast the lookup side, score every pair,
+    keep the best per stream row (min_by/max_by — single agg, no window).
+
+    FuzzyMatch.java compares every stream row against the cached lookup
+    stream too; the vectorized upgrade is the same O(n·m) with Arrow batches.
+    """
+    lkp = F.broadcast(lookup.select(F.col(lookup_field).alias("_cand")).distinct())
+    paired = stream.crossJoin(lkp)
+    s, c = F.col(stream_field), F.col("_cand")
+    if algorithm == "levenshtein":
+        score = F.levenshtein(s, c)
+        best = F.min_by(c, score)
+        best_score = F.min(score)
+        keep = F.lit(True) if max_distance is None else (best_score <= max_distance)
+    elif algorithm in ("jaro", "jaro_winkler"):
+        from pentaho_kettle_spark.functions.strings_udf import jaro_udf, jaro_winkler_udf
+
+        udf = jaro_udf if algorithm == "jaro" else jaro_winkler_udf
+        score = udf(s, c)
+        best = F.max_by(c, score)
+        best_score = F.max(score)
+        keep = F.lit(True) if min_similarity is None else (best_score >= min_similarity)
+    elif algorithm == "soundex":
+        score = (F.soundex(s) == F.soundex(c)).cast("int")
+        best = F.max_by(c, score)
+        best_score = F.max(score)
+        keep = best_score == 1
+    else:
+        raise ValueError(algorithm)
+    keys = [x for x in stream.columns]
+    agg = paired.groupBy(*keys).agg(best.alias(match_field), best_score.alias(score_field))
+    return agg.withColumn(match_field, F.when(keep, F.col(match_field)))
+
+
+def closure_generator(
+    df: DataFrame, parent_field: str, child_field: str, distance_field: str = "distance",
+    max_depth: int = 50,
+) -> DataFrame:
+    """Transitive closure over a (parent, child) hierarchy — iterative
+    self-join with a fixpoint check in the driver (ClosureGenerator.java
+    builds the whole closure in one in-memory map). Includes the 0-distance
+    self rows like the reference."""
+    edges = df.select(
+        F.col(parent_field).alias("p"), F.col(child_field).alias("c")
+    ).distinct().cache()
+    nodes = edges.select(F.col("p").alias("n")).union(edges.select("c")).distinct()
+    closure = nodes.select(
+        F.col("n").alias("p"), F.col("n").alias("c"), F.lit(0).alias("d")
+    ).union(edges.withColumn("d", F.lit(1)))
+    closure = closure.cache()
+    frontier = edges.withColumn("d", F.lit(1))
+    for _depth in range(2, max_depth + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.c") == F.col("e.p"))
+            .select(F.col("f.p").alias("p"), F.col("e.c").alias("c"), (F.col("f.d") + 1).alias("d"))
+        )
+        nxt = nxt.join(closure.select("p", "c"), on=["p", "c"], how="left_anti").cache()
+        if nxt.isEmpty():
+            break
+        closure = closure.union(nxt).cache()
+        frontier = nxt
+    return closure.select(
+        F.col("p").alias(parent_field),
+        F.col("c").alias(child_field),
+        F.col("d").alias(distance_field),
+    )

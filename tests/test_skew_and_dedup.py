@@ -1,0 +1,95 @@
+"""M5: skew handling (hot-key detection + salted two-phase collapse) and the
+training-data dedup/similarity ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
+from pentaho_kettle_spark.cdc.lww import lww_collapse, lww_collapse_salted
+from pentaho_kettle_spark.cdc.skew import detect_hot_keys
+from pentaho_kettle_spark.fixtures.changelog_gen import gen_changelog
+
+
+def test_hot_key_detection_and_salted_equivalence(spark):
+    # zipf a=1.2 → conv-00000000 is hot by construction
+    pdf = gen_changelog(8_000, 300, seed=31)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).drop("ingest_ts")
+    hot = detect_hot_keys(log, ["conv_id"], sample_fraction=0.5, hot_threshold_share=0.01)
+    hot_ids = [r.conv_id for r in hot.collect()]
+    assert "conv-00000000" in hot_ids
+
+    plain = lww_collapse(log).orderBy("conv_id", "turn_idx").collect()
+    salted = (
+        lww_collapse_salted(log, n_salts=8, hot_keys=hot.withColumn("turn_idx", F.lit(None)))
+        if False
+        else lww_collapse_salted(log, n_salts=8)
+    ).orderBy("conv_id", "turn_idx").collect()
+    assert plain == salted
+
+
+def test_salted_with_hot_key_routing(spark):
+    pdf = gen_changelog(5_000, 200, seed=32)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).drop("ingest_ts")
+    hot = detect_hot_keys(log, ["conv_id", "turn_idx"], sample_fraction=0.5,
+                          hot_threshold_share=0.005)
+    plain = lww_collapse(log).orderBy("conv_id", "turn_idx").collect()
+    routed = lww_collapse_salted(log, n_salts=4, hot_keys=hot).orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    assert plain == routed
+
+
+def test_exact_dedup_keeps_one_per_text(spark):
+    from pentaho_kettle_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, "text", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_finds_near_dup(spark):
+    from pentaho_kettle_spark.functions.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely unrelated text about spark shuffles and parquet files here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_dedup(df, "text", "doc_id", num_hashes=32, bands=16, k_shingle=3)
+    got = {(r.doc_id, r.dup_of) for r in pairs.collect()}
+    assert (2, 1) in got
+    assert all(p[0] != 3 for p in got)
+
+
+def test_simhash_hamming_near_zero_for_near_dup(spark):
+    from pentaho_kettle_spark.functions.dedup import simhash_table
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "umami soup recipe with miso")],
+        "doc_id long, text string",
+    )
+    t = {r.doc_id: r.simhash for r in simhash_table(df, "text", "doc_id").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(t[1], t[2]) < ham(t[1], t[3])
+
+
+def test_brute_force_topk_self_is_top1(spark):
+    from pentaho_kettle_spark.functions.similarity import brute_force_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(corpus, queries, k=3)
+    best = {r.query_id: r.vec_id for r in top.filter("cosine > 0.9999").collect()}
+    assert best == {0: 0, 1: 1}
