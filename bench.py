@@ -62,27 +62,46 @@ def _bench_cdc(spark) -> dict:
     cache = _cached_changelog(spark)
     log = read_changelog(spark, cache)
     n_delivered = log.count()  # warms the file listing too
-
-    root = tempfile.mkdtemp(prefix="pks_bench_tbl_")
-    table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32)
-    table.init_empty(
-        T.StructType(
-            [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
-        )
+    sch = T.StructType(
+        [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
     )
+
+    out: dict = {"events": n_delivered}
+    # headline: merge-on-read ingest, 8 micro-batches, auto-compaction included
+    root = tempfile.mkdtemp(prefix="pks_bench_mor_")
+    table = ParquetSnapshotTableIO(
+        spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=4
+    )
+    table.init_empty(sch)
     t0 = time.time()
-    replay_changelog(spark, table, log, n_batches=4, salted=True, n_salts=16, run_id="bench")
+    replay_changelog(spark, table, log, n_batches=8, salted=True, n_salts=16, run_id="bench")
     wall = time.time() - t0
-    rows = table.read().count()
-    shutil.rmtree(root, ignore_errors=True)
-    return {
-        "events": n_delivered,
+    out["mor"] = {
         "replay_sec": round(wall, 2),
         "events_per_sec": round(n_delivered / wall, 1),
-        "final_rows": rows,
-        "batches": 4,
-        "salted": True,
+        "batches": 8,
+        "compactions": sum(
+            1 for r in table.current_manifest()["lineage"] if r.get("mode") == "compact"
+        ),
+        "final_rows": table.read().count(),
     }
+    shutil.rmtree(root, ignore_errors=True)
+
+    # comparison: copy-on-write, single batch (full-table merge)
+    root = tempfile.mkdtemp(prefix="pks_bench_cow_")
+    table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32, write_mode="cow")
+    table.init_empty(sch)
+    t0 = time.time()
+    replay_changelog(spark, table, log, n_batches=1, salted=True, n_salts=16, run_id="bench")
+    wall = time.time() - t0
+    out["cow_1batch"] = {
+        "replay_sec": round(wall, 2),
+        "events_per_sec": round(n_delivered / wall, 1),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    out["replay_sec"] = out["mor"]["replay_sec"]
+    out["events_per_sec"] = out["mor"]["events_per_sec"]
+    return out
 
 
 def main() -> None:

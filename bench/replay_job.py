@@ -22,6 +22,7 @@ def main() -> None:
     changelog_dir, n_batches, salted, out_json = (
         sys.argv[1], int(sys.argv[2]), sys.argv[3] == "1", sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "mor"
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -33,7 +34,9 @@ def main() -> None:
     n = log.count()
 
     root = tempfile.mkdtemp(prefix="pks_scale_tbl_")
-    table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32)
+    table = ParquetSnapshotTableIO(
+        spark, root + "/t", n_buckets=32, write_mode=mode, compact_delta_files=4
+    )
     table.init_empty(
         T.StructType(
             [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
@@ -55,6 +58,7 @@ def main() -> None:
                 "final_rows": rows,
                 "parallelism": spark.sparkContext.defaultParallelism,
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "mode": mode,
             },
             f,
         )

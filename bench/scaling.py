@@ -62,7 +62,7 @@ def run_once(cores: int, log_dir: str, batches: int, zip_path: str, tag: str) ->
         "--conf", "spark.ui.enabled=false",
         "--py-files", zip_path,
         os.path.join(REPO, "bench", "replay_job.py"),
-        log_dir, str(batches), "1", out_json,
+        log_dir, str(batches), "1", out_json, "mor",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     with open(out_json) as f:
@@ -74,7 +74,7 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=2_000_000)
     ap.add_argument("--convs", type=int, default=20_000)
     ap.add_argument("--trials", type=int, default=1)
-    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batches", type=int, default=8)
     args = ap.parse_args()
 
     zip_path = "/tmp/pks.zip"

@@ -94,6 +94,28 @@ def test_resume_after_crash(spark, tmp_path, changelog_pdf, oracle_final):
     assert_df_equals_pandas(table.read(), oracle_final, ["conv_id", "turn_idx"])
 
 
+def test_mor_replay_matches_oracle_with_compaction(spark, tmp_path, changelog_pdf, oracle_final):
+    """Merge-on-read write mode: deltas appended per batch, auto-compaction
+    folds them into base; readers see identical state to CoW / the oracle."""
+    import pyspark.sql.types as T
+
+    table = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "mor"), n_buckets=8, write_mode="mor", compact_delta_files=3
+    )
+    data_schema = T.StructType(
+        [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
+    )
+    table.init_empty(data_schema)
+    log = _spark_changelog(spark, changelog_pdf)
+    replay_changelog(spark, table, log, n_batches=6, run_id="mor")
+    assert_df_equals_pandas(table.read(), oracle_final, ["conv_id", "turn_idx"])
+    modes = [r.get("mode") for r in table.current_manifest()["lineage"]]
+    assert "compact" in modes  # threshold=3 with 6 batches must have compacted
+    # full compaction leaves a base-only table that still matches
+    table.compact()
+    assert_df_equals_pandas(table.read(), oracle_final, ["conv_id", "turn_idx"])
+
+
 def test_flagship_aggregate(spark, tmp_path, changelog_pdf, oracle_final):
     """Post-merge per-conversation aggregate (scan → groupBy on the table)."""
     table = _fresh_table(spark, tmp_path)

@@ -1,0 +1,101 @@
+"""TableIO lifecycle: bootstrap, tombstone semantics across batches,
+compaction, lineage, bucket pruning."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp, op string, _seq long"
+    )
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_tombstone_blocks_older_update_across_batches(spark, tmp_path):
+    t = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=4)
+    t.init_empty(SCHEMA)
+    t.merge_apply(_chg(spark, [("c1", 0, "hello", _ts("2026-01-01T00:00:10"), "U", 10)]), "b1")
+    # delete at ts=20
+    t.merge_apply(_chg(spark, [("c1", 0, None, _ts("2026-01-01T00:00:20"), "D", 20)]), "b2")
+    assert t.read().count() == 0
+    # late update with OLDER ts arrives in a later batch → must stay dead
+    t.merge_apply(_chg(spark, [("c1", 0, "zombie", _ts("2026-01-01T00:00:15"), "U", 15)]), "b3")
+    assert t.read().count() == 0
+    # newer update resurrects
+    t.merge_apply(_chg(spark, [("c1", 0, "alive", _ts("2026-01-01T00:00:30"), "U", 30)]), "b4")
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].text == "alive"
+
+
+def test_expire_tombstones_compacts(spark, tmp_path):
+    t = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=4)
+    t.init_empty(SCHEMA)
+    t.merge_apply(
+        _chg(spark, [
+            ("c1", 0, "a", _ts("2026-01-01T00:00:01"), "U", 1),
+            ("c2", 0, "b", _ts("2026-01-01T00:00:02"), "U", 2),
+        ]),
+        "b1",
+    )
+    t.merge_apply(_chg(spark, [("c1", 0, None, _ts("2026-01-01T00:00:05"), "D", 5)]), "b2")
+    assert t.read_full().count() == 2  # one live + one tombstone
+    t.expire_tombstones()
+    assert t.read_full().count() == 1
+    assert t.read().count() == 1
+
+
+def test_lineage_and_bucket_pruning(spark, tmp_path):
+    t = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=8)
+    t.init_empty(SCHEMA)
+    rows = [(f"c{i}", 0, f"t{i}", _ts("2026-01-01T00:00:01"), "U", i) for i in range(50)]
+    t.merge_apply(_chg(spark, rows), "b1")
+    # single-key update touches exactly one bucket
+    rec = t.merge_apply(
+        _chg(spark, [("c7", 0, "t7b", _ts("2026-01-01T00:00:09"), "U", 99)]), "b2"
+    )
+    assert len(rec["touched_buckets"]) == 1
+    assert rec["metrics"]["updated"] == 1
+    assert rec["metrics"]["inserted"] == 0
+    m = t.current_manifest()
+    assert [r["batch_id"] for r in m["lineage"]] == ["b1", "b2"]
+    # untouched buckets carried forward by reference: their files predate b2
+    untouched = [b for b in m["files"] if int(b) not in rec["touched_buckets"]]
+    assert untouched
+    assert all(
+        f"snap-{m['snapshot_id']:06d}" not in e["path"]
+        for b in untouched
+        for e in m["files"][b]
+    )
+    assert t.read().count() == 50
+
+
+def test_overwrite_bootstrap(spark, tmp_path):
+    t = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=4)
+    df = spark.createDataFrame(
+        [("c1", 0, "x", _ts("2026-01-01T00:00:00"))], SCHEMA
+    )
+    t.init_empty(SCHEMA)
+    t.overwrite(df, batch_id="bootstrap")
+    assert t.read().count() == 1
+    # snapshot load then incremental on top
+    t.merge_apply(_chg(spark, [("c2", 1, "y", _ts("2026-01-01T00:01:00"), "U", 1)]), "b1")
+    assert t.read().count() == 2
