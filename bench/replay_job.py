@@ -49,6 +49,8 @@ def main() -> None:
     rows = table.read().count()
     shutil.rmtree(root, ignore_errors=True)
 
+    spark.stop()  # REQUIRED under spark-submit: a lingering JVM would
+    # contend with the next trial and wreck the measurement
     with open(out_json, "w") as f:
         json.dump(
             {

@@ -33,8 +33,9 @@ def build_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def gen_log(events: int, convs: int) -> str:
-    cache = f"/tmp/pks_bench_cache/changelog_e{events}_c{convs}_s42"
+def gen_log(events: int, convs: int, zipf_a: float | None = 1.2) -> str:
+    tag = "uniform" if zipf_a is None else f"z{zipf_a}"
+    cache = f"/tmp/pks_bench_cache/changelog_e{events}_c{convs}_s42_{tag}"
     if os.path.exists(os.path.join(cache, "_SUCCESS")):
         return cache
     from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
@@ -42,7 +43,7 @@ def gen_log(events: int, convs: int) -> str:
     from pentaho_kettle_spark.session import get_spark
 
     spark = get_spark(app_name="gen", master="local[8]", shuffle_partitions=8)
-    pdf = gen_changelog(events, convs, seed=42)
+    pdf = gen_changelog(events, convs, seed=42, zipf_a=zipf_a)
     spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).repartition(32).write.mode(
         "overwrite"
     ).parquet(cache)
@@ -79,26 +80,31 @@ def main() -> None:
 
     zip_path = "/tmp/pks.zip"
     build_zip(zip_path)
-    log_dir = gen_log(args.events, args.convs)
 
     results = {"events": args.events, "convs": args.convs, "batches": args.batches,
-               "trials": args.trials, "runs": {}}
-    for cores in (8, 32):
-        # warm-up run discarded (JIT, page cache), then timed trials
-        run_once(cores, log_dir, args.batches, zip_path, "warmup")
-        tput = []
-        for t in range(args.trials):
-            r = run_once(cores, log_dir, args.batches, zip_path, f"t{t}")
-            tput.append(r["events_per_sec"])
-        results["runs"][str(cores)] = {
-            "events_per_sec_median": statistics.median(tput),
-            "all": tput,
+               "trials": args.trials, "distributions": {}}
+    for dist, zipf_a in (("skewed", 1.2), ("uniform", None)):
+        log_dir = gen_log(args.events, args.convs, zipf_a)
+        runs = {}
+        for cores in (8, 32):
+            # warm-up run discarded (JIT, page cache), then timed trials
+            run_once(cores, log_dir, args.batches, zip_path, "warmup")
+            tput = []
+            for t in range(args.trials):
+                r = run_once(cores, log_dir, args.batches, zip_path, f"{dist}_t{t}")
+                tput.append(r["events_per_sec"])
+            runs[str(cores)] = {
+                "events_per_sec_median": statistics.median(tput),
+                "all": tput,
+            }
+            print(f"{dist} local[{cores}]: {tput} events/s", file=sys.stderr)
+        t8 = runs["8"]["events_per_sec_median"]
+        t32 = runs["32"]["events_per_sec_median"]
+        results["distributions"][dist] = {
+            "runs": runs,
+            "scaling_efficiency": round(t32 / (4 * t8), 3),
         }
-        print(f"local[{cores}]: {tput} events/s", file=sys.stderr)
-
-    t8 = results["runs"]["8"]["events_per_sec_median"]
-    t32 = results["runs"]["32"]["events_per_sec_median"]
-    results["scaling_efficiency"] = round(t32 / (4 * t8), 3)
+    results["scaling_efficiency"] = results["distributions"]["skewed"]["scaling_efficiency"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -48,7 +48,6 @@ def lww_collapse(
     ordk = F.struct(F.col(lww_col), F.col(seq_col))
     agg = events.groupBy(*key_cols).agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w"),
-        F.max(F.col(seq_col)).alias("_max_seq_seen"),
     )
     cols = [F.col(k) for k in key_cols]
     cols += [F.col(f"w.{c}").alias(c) for c in payload if c != seq_col]

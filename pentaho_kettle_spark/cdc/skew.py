@@ -26,7 +26,6 @@ def detect_hot_keys(
     key_cols = key_cols or ["conv_id", "turn_idx"]
     sample = events.sample(fraction=sample_fraction, seed=42)
     counts = sample.groupBy(*key_cols).count()
-    total = F.lit(1.0) / F.lit(max(sample_fraction, 1e-9))
     # threshold in sampled counts: share * sampled_total ≈ share * (E * frac)
     sampled_total = sample.count()
     thresh = max(int(hot_threshold_share * sampled_total), 2)

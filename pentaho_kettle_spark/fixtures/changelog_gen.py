@@ -55,7 +55,7 @@ def gen_changelog(
     n_events: int,
     n_convs: int,
     seed: int = 42,
-    zipf_a: float = 1.2,
+    zipf_a: float | None = 1.2,
     dup_frac: float = 0.01,
     late_frac: float = 0.005,
     ooo_window: int = 500,
@@ -70,10 +70,13 @@ def gen_changelog(
     rng = np.random.default_rng(seed)
     E = n_events
 
-    # --- conversation assignment: Zipf-skewed (hot conv_ids) ---
-    ranks = rng.zipf(zipf_a, size=E)
-    conv = (ranks - 1) % n_convs  # rank 1 (most common) → conv 0
-    conv = conv.astype(np.int64)
+    # --- conversation assignment: Zipf-skewed (hot conv_ids); zipf_a=None
+    # gives a uniform distribution (the no-skew control in BASELINE.md) ---
+    if zipf_a is None:
+        conv = rng.integers(0, n_convs, size=E).astype(np.int64)
+    else:
+        ranks = rng.zipf(zipf_a, size=E)
+        conv = ((ranks - 1) % n_convs).astype(np.int64)
 
     # --- op choice, then force I where the conv has no rows yet ---
     u = rng.random(E)

@@ -122,9 +122,10 @@ def fuzzy_match(
     lkp = F.broadcast(lookup.select(F.col(lookup_field).alias("_cand")).distinct())
     paired = stream.crossJoin(lkp)
     s, c = F.col(stream_field), F.col("_cand")
+    # ties broken deterministically: lexicographically smallest candidate
     if algorithm == "levenshtein":
         score = F.levenshtein(s, c)
-        best = F.min_by(c, score)
+        best = F.min_by(c, F.struct(score, c))
         best_score = F.min(score)
         keep = F.lit(True) if max_distance is None else (best_score <= max_distance)
     elif algorithm in ("jaro", "jaro_winkler"):
@@ -132,12 +133,12 @@ def fuzzy_match(
 
         udf = jaro_udf if algorithm == "jaro" else jaro_winkler_udf
         score = udf(s, c)
-        best = F.max_by(c, score)
+        best = F.min_by(c, F.struct(-score, c))
         best_score = F.max(score)
         keep = F.lit(True) if min_similarity is None else (best_score >= min_similarity)
     elif algorithm == "soundex":
         score = (F.soundex(s) == F.soundex(c)).cast("int")
-        best = F.max_by(c, score)
+        best = F.min_by(c, F.struct(-score, c))
         best_score = F.max(score)
         keep = best_score == 1
     else:

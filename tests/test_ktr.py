@@ -1,0 +1,49 @@
+"""The .ktr loader: a Kettle transformation file runs on this engine and
+produces the rows the reference's step graph would."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pentaho_kettle_spark.plans.ktr import parse_ktr, run_ktr
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_parse_ktr():
+    t = parse_ktr(os.path.join(FIX, "sample_trans.ktr"))
+    assert t.name == "orders_rollup"
+    assert len(t.steps) == 7
+    assert ("Orders grid", "Big orders only") in t.hops
+
+
+def test_run_ktr_pipeline(spark):
+    outs = run_ktr(spark, os.path.join(FIX, "sample_trans.ktr"))
+    # terminals: the sorted rollup and the false-branch Dummy
+    assert set(outs) == {"Sort output", "Small orders"}
+    rollup = [(r.status_label, r.total, r.n) for r in outs["Sort output"].collect()]
+    # big orders (>=50): 1 P 100, 2 F 250.5, 3 P 80 → Pending 180/2, Fulfilled 250.5/1
+    assert rollup == [("Fulfilled", 250.5, 1), ("Pending", 180.0, 2)]
+    small = sorted(r.order_id for r in outs["Small orders"].collect())
+    assert small == [4, 5]
+    # Calculator ran: fee = amount*100/1000 = amount/10 on the big branch
+    fee_cols = outs["Sort output"].columns
+    assert "total" in fee_cols and "n" in fee_cols
+
+
+def test_run_ktr_merge_join(spark):
+    outs = run_ktr(spark, os.path.join(FIX, "sample_join.ktr"))
+    rows = {r.k: r.label for r in outs["Join"].collect()}
+    assert rows == {1: "one", 2: "two", 3: None}
+
+
+def test_unsupported_step_raises(spark, tmp_path):
+    p = tmp_path / "bad.ktr"
+    p.write_text(
+        """<?xml version="1.0"?><transformation><info><name>x</name></info>
+        <step><name>s</name><type>SalesforceInput</type></step><order/></transformation>"""
+    )
+    with pytest.raises(NotImplementedError, match="SalesforceInput"):
+        run_ktr(spark, str(p))
