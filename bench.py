@@ -35,17 +35,22 @@ HEADLINE = [
 ]
 
 
+# tmpfs when available: the sandbox virtio disk has multi-second writeback
+# stalls that are pure measurement noise (see BENCH/BASELINE.md)
+TMP_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+
 def _cached_changelog(spark):
     """Deterministic bench change log, generated once and cached as parquet."""
-    cache = f"/tmp/pks_bench_cache/changelog_e{BENCH_EVENTS}_c{BENCH_CONVS}_s42"
+    cache = f"{TMP_BASE}/pks_bench_cache/changelog_e{BENCH_EVENTS}_c{BENCH_CONVS}_s42_z1.2_rng"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
         from pentaho_kettle_spark.fixtures.changelog_gen import gen_changelog
 
         pdf = gen_changelog(BENCH_EVENTS, BENCH_CONVS, seed=42)
-        spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).repartition(32).write.mode(
-            "overwrite"
-        ).parquet(cache)
+        spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).repartitionByRange(
+            32, "ingest_ts"
+        ).sortWithinPartitions("ingest_ts").write.mode("overwrite").parquet(cache)
     return cache
 
 
@@ -68,13 +73,13 @@ def _bench_cdc(spark) -> dict:
 
     out: dict = {"events": n_delivered}
     # headline: merge-on-read ingest, 8 micro-batches, auto-compaction included
-    root = tempfile.mkdtemp(prefix="pks_bench_mor_")
+    root = tempfile.mkdtemp(prefix="pks_bench_mor_", dir=TMP_BASE)
     table = ParquetSnapshotTableIO(
         spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=4
     )
     table.init_empty(sch)
     t0 = time.time()
-    replay_changelog(spark, table, log, n_batches=8, salted=True, n_salts=16, run_id="bench")
+    replay_changelog(spark, table, log, n_batches=8, salted="auto", n_salts=16, run_id="bench")
     wall = time.time() - t0
     out["mor"] = {
         "replay_sec": round(wall, 2),
@@ -88,11 +93,11 @@ def _bench_cdc(spark) -> dict:
     shutil.rmtree(root, ignore_errors=True)
 
     # comparison: copy-on-write, single batch (full-table merge)
-    root = tempfile.mkdtemp(prefix="pks_bench_cow_")
+    root = tempfile.mkdtemp(prefix="pks_bench_cow_", dir=TMP_BASE)
     table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32, write_mode="cow")
     table.init_empty(sch)
     t0 = time.time()
-    replay_changelog(spark, table, log, n_batches=1, salted=True, n_salts=16, run_id="bench")
+    replay_changelog(spark, table, log, n_batches=1, salted="auto", n_salts=16, run_id="bench")
     wall = time.time() - t0
     out["cow_1batch"] = {
         "replay_sec": round(wall, 2),

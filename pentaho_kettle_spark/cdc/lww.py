@@ -55,41 +55,51 @@ def lww_collapse(
     return agg.select(*cols)
 
 
+_HOT_SEP = ""
+
+
 def lww_collapse_salted(
     events: DataFrame,
     key_cols: list[str] | None = None,
     lww_col: str = "ts",
     seq_col: str = "seq",
     n_salts: int = 16,
-    hot_keys: DataFrame | None = None,
+    hot_keys: DataFrame | list | None = None,
 ) -> DataFrame:
     """Two-phase salted collapse for hot keys (north_rule requirement).
 
     Phase 1: aggregate on (key, salt) — a hot key's events split across
     `n_salts` reducers, bounding any single task.
-    Phase 2: aggregate the ≤ n_salts phase-1 winners per key (tiny).
+    Phase 2: aggregate the ≤ n_salts phase-1 winners per key (for cold keys
+    phase 1 already collapsed to exactly one row, so phase 2's shuffle moves
+    |unique keys| rows, not |batch|).
 
-    If `hot_keys` (a small DataFrame of key cols, e.g. from sampled counts —
-    see cdc/skew.py) is given, only those keys are salted and the rest take
-    the single-phase path, then the two legs union. With hot_keys=None all
-    keys are salted (uniform two-phase).
+    If `hot_keys` is given (a small DataFrame or list of Rows/tuples of the
+    key cols, e.g. from cdc/skew.py sampling — bounded at ~1000), ONLY those
+    keys receive a nonzero salt: the salt expression is a literal IN-set
+    test compiled into the single aggregation plan. One plan, two shuffles,
+    no broadcast join, no union — at 10^10 events the per-batch stage count
+    is flat whether or not skew was detected, and a cold key costs exactly
+    what the unsalted path costs. With hot_keys=None all keys are salted
+    (uniform two-phase).
     """
     key_cols = key_cols or ["conv_id", "turn_idx"]
-
-    if hot_keys is not None:
-        hk = F.broadcast(hot_keys.select(*key_cols).distinct().withColumn("_hot", F.lit(True)))
-        tagged = events.join(hk, on=key_cols, how="left")
-        hot = tagged.filter(F.col("_hot").isNotNull()).drop("_hot")
-        cold = tagged.filter(F.col("_hot").isNull()).drop("_hot")
-        hot_out = lww_collapse_salted(hot, key_cols, lww_col, seq_col, n_salts, None)
-        cold_out = lww_collapse(cold, key_cols, lww_col, seq_col)
-        return hot_out.unionByName(cold_out)
-
     payload = [c for c in events.columns if c not in key_cols]
     ordk = F.struct(F.col(lww_col), F.col(seq_col))
-    salted = events.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(n_salts))
-    )
+
+    full_salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(n_salts))
+    if hot_keys is None:
+        salt = full_salt
+    else:
+        rows = hot_keys if isinstance(hot_keys, list) else hot_keys.collect()
+        joined = [_HOT_SEP.join(str(v) for v in r) for r in rows]
+        if not joined:
+            salt = F.lit(0)
+        else:
+            key_str = F.concat_ws(_HOT_SEP, *[F.col(k).cast("string") for k in key_cols])
+            salt = F.when(key_str.isin(joined), full_salt).otherwise(F.lit(0))
+
+    salted = events.withColumn("_salt", salt)
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w")
     )

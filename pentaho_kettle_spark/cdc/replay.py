@@ -12,9 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import datetime as _dt
+
 from pentaho_kettle_spark.cdc.changelog import read_changelog
 from pentaho_kettle_spark.cdc.lww import lww_collapse, lww_collapse_salted
 from pentaho_kettle_spark.cdc.schema_evolution import evolve_and_conform
+from pentaho_kettle_spark.cdc.skew import detect_hot_keys
 from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
 
@@ -23,28 +26,46 @@ def replay_changelog(
     table: ParquetSnapshotTableIO,
     changelog: DataFrame | str,
     n_batches: int = 1,
-    salted: bool = False,
+    salted: bool | str = False,
     n_salts: int = 16,
     rename_hints: dict[str, str] | None = None,
     run_id: str = "replay",
     stop_after_batch: int | None = None,
 ) -> list[dict]:
     """Replay the log in `n_batches` delivery-order chunks. Returns lineage
-    records. `stop_after_batch` simulates a crash for resume tests."""
+    records. `stop_after_batch` simulates a crash for resume tests.
+
+    `salted`: False = single-shuffle collapse; True = every key takes the
+    two-phase salted path; "auto" = detect hot keys once by sampling
+    (cdc/skew.py) and salt ONLY those — the cold majority keeps the
+    single-shuffle plan, so a uniform log pays nothing for skew handling.
+    """
     if isinstance(changelog, str):
         changelog = read_changelog(spark, changelog)
 
     payload_cols = [c for c in changelog.columns if c not in ("ingest_ts",)]
 
+    hot_keys = None
+    if salted == "auto":
+        # one sampled pass; the (≤1000-entry) hot list compiles into the
+        # collapse plan as a literal IN-set — no per-batch join
+        hot_keys = detect_hot_keys(changelog, key_cols=table.key_cols).collect()
+        salted = bool(hot_keys)
+
     if n_batches <= 1:
         bounds = None
     else:
         # delivery order = ingest_ts; chunk by equi-width quantiles (one cheap
-        # pass over one slim column)
+        # pass over one slim column). Bounds become TIMESTAMP literals so the
+        # per-batch filter pushes down to the parquet scan — on a time-ordered
+        # log (any real WAL/binlog segment layout) whole files/row-groups are
+        # skipped by footer stats and each batch scans ~1/n_batches of the log.
         qs = [i / n_batches for i in range(1, n_batches)]
-        bounds = changelog.select(
+        raw = changelog.select(
             F.percentile_approx(F.col("ingest_ts").cast("double"), qs, 10000).alias("b")
         ).collect()[0]["b"]
+        bounds = [_dt.datetime.fromtimestamp(b, tz=_dt.timezone.utc).replace(tzinfo=None)
+                  for b in raw]
 
     lineage: list[dict] = []
     for i in range(n_batches):
@@ -55,11 +76,14 @@ def replay_changelog(
             hi = bounds[i] if i < n_batches - 1 else None
             cond = F.lit(True)
             if lo is not None:
-                cond = cond & (F.col("ingest_ts").cast("double") > F.lit(lo))
+                cond = cond & (F.col("ingest_ts") > F.lit(lo))
             if hi is not None:
-                cond = cond & (F.col("ingest_ts").cast("double") <= F.lit(hi))
+                cond = cond & (F.col("ingest_ts") <= F.lit(hi))
             batch = changelog.filter(cond)
         batch = batch.select(*payload_cols)
+        import time as _time
+
+        _t0 = _time.time()
         rec = apply_batch(
             table,
             batch,
@@ -67,7 +91,9 @@ def replay_changelog(
             salted=salted,
             n_salts=n_salts,
             rename_hints=rename_hints,
+            hot_keys=hot_keys,
         )
+        rec["batch_sec"] = round(_time.time() - _t0, 2)
         lineage.append(rec)
         if stop_after_batch is not None and i >= stop_after_batch:
             break
@@ -81,13 +107,18 @@ def apply_batch(
     salted: bool = False,
     n_salts: int = 16,
     rename_hints: dict[str, str] | None = None,
+    hot_keys: DataFrame | None = None,
 ) -> dict:
     """The per-micro-batch stage chain (shared by batch replay + streaming):
     schema-evolve table → conform batch → LWW collapse → salted MERGE."""
     if batch_id in table.committed_batches():
         return {"skipped_duplicate_batch": batch_id}
     batch = evolve_and_conform(table, batch, rename_hints)
-    collapse = lww_collapse_salted if salted else lww_collapse
-    kwargs = {"n_salts": n_salts} if salted else {}
-    collapsed = collapse(batch, key_cols=table.key_cols, lww_col=table.lww_col, **kwargs)
+    if salted:
+        collapsed = lww_collapse_salted(
+            batch, key_cols=table.key_cols, lww_col=table.lww_col,
+            n_salts=n_salts, hot_keys=hot_keys,
+        )
+    else:
+        collapsed = lww_collapse(batch, key_cols=table.key_cols, lww_col=table.lww_col)
     return table.merge_apply(collapsed, batch_id=batch_id)

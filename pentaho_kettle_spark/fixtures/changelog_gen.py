@@ -39,16 +39,23 @@ _BASE_TS = np.datetime64("2026-01-01T00:00:00", "us")
 
 
 def _gen_texts(rng: np.random.Generator, n: int, min_words: int = 4, max_words: int = 40) -> np.ndarray:
-    """Deterministic synthetic sentences, ~20-2000 chars, vectorized-ish."""
-    lengths = rng.integers(min_words, max_words + 1, size=n)
+    """Deterministic synthetic sentences, ~20-250 chars.
+
+    The join loop costs ~47s per million rows, so large n samples from a
+    200k-sentence pool instead (distinct texts aren't a correctness
+    property anywhere — real transcripts repeat text too)."""
+    pool_n = min(n, 200_000)
+    lengths = rng.integers(min_words, max_words + 1, size=pool_n)
     codes = rng.integers(0, len(_VOCAB), size=int(lengths.sum()))
     words = _VOCAB[codes]
-    out = np.empty(n, dtype=object)
+    out = np.empty(pool_n, dtype=object)
     pos = 0
     for i, ln in enumerate(lengths):
         out[i] = " ".join(words[pos : pos + ln])
         pos += ln
-    return out
+    if pool_n == n:
+        return out
+    return out[rng.integers(0, pool_n, size=n)]
 
 
 def gen_changelog(
@@ -90,10 +97,14 @@ def gen_changelog(
     s = pd.Series(op == 0)
     inserts_before = (s.groupby(grp).cumsum() - s).values.astype(np.int64)
 
+    # updates/deletes target EARLY turns disproportionately (rng^5 → turn 0
+    # of a hot conversation accumulates a real hot KEY, the thing the salted
+    # two-phase merge exists for; uniform turns would dilute conversation
+    # skew into per-key uniformity and never exercise it)
     turn_idx = np.where(
         op == 0,
         inserts_before,
-        np.floor(rng.random(E) * np.maximum(inserts_before, 1)).astype(np.int64),
+        np.floor(rng.random(E) ** 5 * np.maximum(inserts_before, 1)).astype(np.int64),
     ).astype(np.int32)
 
     # --- timestamps: globally monotone in origin order (hence per-conv) ---
@@ -119,7 +130,7 @@ def gen_changelog(
         {
             "seq": seq,
             "op": np.array(["I", "U", "D"], dtype=object)[op],
-            "conv_id": pd.Series(conv).map(lambda c: f"conv-{c:08d}").values,
+            "conv_id": np.char.add("conv-", np.char.zfill(conv.astype("U8"), 8)).astype(object),
             "turn_idx": turn_idx,
             "role": role,
             "text": text,

@@ -10,8 +10,11 @@ runs on this engine unchanged (for the supported step types).
 Supported <type>s (the row-shaping core; connectors map to sources/):
   CSVInput / CsvInput, DataGrid, Constant, FilterRows, SelectValues,
   Calculator, GroupBy, MemoryGroupBy, SortRows, MergeJoin, StreamLookup,
-  Unique, UniqueRowsByHashSet, ValueMapper, StringOperations, ReplaceString,
-  Denormaliser, Normaliser, SwitchCase, Dummy (DUMMY), TextFileOutput.
+  Unique, UniqueRowsByHashSet, ValueMapper, ReplaceString, Denormaliser,
+  Normaliser, SwitchCase, Dummy (DUMMY), TextFileOutput, Sequence,
+  NumberRange, IfNull, SetValueConstant, SetValueField, CheckSum, Janino,
+  Formula, MergeRows, JoinRows, FuzzyMatch, StringOperations, StringCut,
+  FieldSplitter, SplitFieldToRows3, ConcatFields, AnalyticQuery.
 
 Semantics pins preserved from the reference: FilterRows' two-way routing
 (NULL → false target), GroupBy aggregate type names, SortRows asc/desc
@@ -379,6 +382,212 @@ def _b_switch_case(spark, step, inputs):
     return routed
 
 
+def _b_sequence(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    return ops.add_sequence(
+        df,
+        out_field=_txt(e, "valuename", "valuename") or "valuename",
+        start=int(_txt(e, "start_at", "1") or 1),
+    )
+
+
+def _b_number_range(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    ranges = []
+    for r in e.findall("rules/rule"):
+        lo, hi = _txt(r, "lower_bound"), _txt(r, "upper_bound")
+        ranges.append(
+            (float(lo) if lo else None, float(hi) if hi else None, _txt(r, "value"))
+        )
+    return ops.number_range(
+        df,
+        _txt(e, "inputField"),
+        _txt(e, "outputField", "range") or "range",
+        ranges,
+        default=_txt(e, "fallBackValue", "unknown") or "unknown",
+    )
+
+
+def _b_if_null(spark, step, inputs):
+    df = _single(inputs)
+    defaults = {
+        _txt(f, "name"): _txt(f, "value")
+        for f in step.elem.findall("fields/field")
+    }
+    return ops.if_null(df, defaults)
+
+
+def _b_set_value_constant(spark, step, inputs):
+    df = _single(inputs)
+    for f in step.elem.findall("fields/field"):
+        df = ops.set_field_value(df, _txt(f, "name"), value=_txt(f, "value"))
+    return df
+
+
+def _b_set_value_field(spark, step, inputs):
+    df = _single(inputs)
+    for f in step.elem.findall("fields/field"):
+        df = ops.set_field_value(
+            df, _txt(f, "name"), from_field=_txt(f, "replaceby")
+        )
+    return df
+
+
+def _b_checksum(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    fields = [_txt(f, "name") for f in e.findall("fields/field")]
+    algo = (_txt(e, "checksumtype", "sha256") or "sha256").lower().replace("-", "")
+    return ops.add_checksum(
+        df, fields, out_field=_txt(e, "resultfieldName", "checksum") or "checksum",
+        algo=algo,
+    )
+
+
+def _b_janino(spark, step, inputs):
+    df = _single(inputs)
+    for f in step.elem.findall("fields/field"):
+        df = ops.janino_expression(df, _txt(f, "fieldName"), _txt(f, "formula"))
+    return df
+
+
+def _b_formula(spark, step, inputs):
+    df = _single(inputs)
+    for f in step.elem.findall("fields/field"):
+        df = ops.formula(df, _txt(f, "field_name"), _txt(f, "formula_string"))
+    return df
+
+
+def _b_merge_rows(spark, step, inputs):
+    e = step.elem
+    ref_step, cmp_step = _txt(e, "reference"), _txt(e, "compare")
+    keys = [k.text for k in e.findall("keys/key")]
+    values = [v.text for v in e.findall("values/value")] or None
+    return ops.merge_rows_diff(
+        inputs[ref_step], inputs[cmp_step], keys,
+        value_cols=values, flag_field=_txt(e, "flag_field", "flagfield") or "flagfield",
+    )
+
+
+def _b_join_rows(spark, step, inputs):
+    e = step.elem
+    main = _txt(e, "main")
+    if main and main in inputs and len(inputs) == 2:
+        other = _single({k: v for k, v in inputs.items() if k != main})
+        left, right = inputs[main], other
+    else:
+        left, right = list(inputs.values())[:2]
+    cond_el = e.find("compare/condition")
+    cond = None
+    if cond_el is not None and cond_el.find("leftvalue") is not None:
+        from pentaho_kettle_spark.operators.filter_rows import kettle_condition
+
+        cond = kettle_condition(_parse_condition(cond_el))
+    return ops.join_rows_cartesian(left, right, condition=cond)
+
+
+def _b_fuzzy_match(spark, step, inputs):
+    e = step.elem
+    lkp_step = _txt(e, "from")
+    lookup = inputs[lkp_step]
+    stream = _single({k: v for k, v in inputs.items() if k != lkp_step})
+    algo = (_txt(e, "algorithm", "levenshtein") or "levenshtein").lower()
+    min_v, max_v = _txt(e, "minimalValue"), _txt(e, "maximalValue")
+    return ops.fuzzy_match(
+        stream, lookup,
+        stream_field=_txt(e, "mainstreamfield"),
+        lookup_field=_txt(e, "lookupfield"),
+        algorithm=algo,
+        match_field=_txt(e, "outputmatchfield", "match") or "match",
+        max_distance=int(max_v) if (max_v and algo == "levenshtein") else None,
+        min_similarity=float(min_v) if (min_v and algo != "levenshtein") else None,
+    )
+
+
+def _b_string_operations(spark, step, inputs):
+    df = _single(inputs)
+    trims = {"none": "none", "left": "left", "right": "right", "both": "both"}
+    cases = {"upper": "upper", "lower": "lower", "init cap": "initcap"}
+    for f in step.elem.findall("fields/field"):
+        df = ops.string_operations(
+            df,
+            _txt(f, "in_stream_name"),
+            trim_type=trims.get((_txt(f, "trim_type", "none") or "none").lower(), "none"),
+            case=cases.get((_txt(f, "lower_upper", "") or "").lower()),
+            digits={"only": "only", "remove": "remove"}.get(
+                (_txt(f, "digits", "") or "").lower()
+            ),
+            out_field=_txt(f, "out_stream_name") or None,
+        )
+    return df
+
+
+def _b_string_cut(spark, step, inputs):
+    df = _single(inputs)
+    for f in step.elem.findall("fields/field"):
+        df = ops.strings_cut(
+            df,
+            _txt(f, "in_stream_name"),
+            int(_txt(f, "cut_from", "0") or 0),
+            int(_txt(f, "cut_to", "0") or 0),
+            out_field=_txt(f, "out_stream_name") or None,
+        )
+    return df
+
+
+def _b_field_splitter(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    new_fields = [_txt(f, "name") for f in e.findall("fields/field")]
+    return ops.split_fields(
+        df, _txt(e, "splitfield"), _txt(e, "delimiter", ",") or ",", new_fields
+    )
+
+
+def _b_split_field_to_rows(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    rownum = _txt(e, "rownum_field") if _bool(e, "rownum") else None
+    return ops.split_field_to_rows(
+        df,
+        _txt(e, "splitfield"),
+        _txt(e, "delimiter", ";") or ";",
+        _txt(e, "newfield", "value") or "value",
+        rownum_field=rownum,
+        is_regex=_bool(e, "delimiter_is_regex"),
+    )
+
+
+def _b_concat_fields(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    fields = [_txt(f, "name") for f in e.findall("fields/field")]
+    return ops.concat_fields(
+        df, fields,
+        _txt(e, "separator", "") or "",
+        _txt(e, "targetFieldName", "concat") or "concat",
+    )
+
+
+def _b_analytic_query(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    group = [_txt(f, "name") for f in e.findall("group/field")]
+    specs = []
+    for f in e.findall("fields/field"):
+        typ = (_txt(f, "aggregatetype", "LAG") or "LAG").lower()
+        specs.append({
+            "subject": _txt(f, "subjectfield"),
+            "type": "lead" if typ.startswith("lead") else "lag",
+            "n": int(_txt(f, "valuefield", "1") or 1),
+            "out": _txt(f, "aggregatefield"),
+        })
+    order = [_txt(f, "name") for f in e.findall("order/field")] or group
+    return ops.analytic_query(df, group, order, specs)
+
+
 def _b_dummy(spark, step, inputs):
     return _single(inputs)
 
@@ -420,6 +629,23 @@ BUILDERS = {
     "SwitchCase": _b_switch_case,
     "Dummy": _b_dummy,
     "TextFileOutput": _b_text_output,
+    "Sequence": _b_sequence,
+    "NumberRange": _b_number_range,
+    "IfNull": _b_if_null,
+    "SetValueConstant": _b_set_value_constant,
+    "SetValueField": _b_set_value_field,
+    "CheckSum": _b_checksum,
+    "Janino": _b_janino,
+    "Formula": _b_formula,
+    "MergeRows": _b_merge_rows,
+    "JoinRows": _b_join_rows,
+    "FuzzyMatch": _b_fuzzy_match,
+    "StringOperations": _b_string_operations,
+    "StringCut": _b_string_cut,
+    "FieldSplitter": _b_field_splitter,
+    "SplitFieldToRows3": _b_split_field_to_rows,
+    "ConcatFields": _b_concat_fields,
+    "AnalyticQuery": _b_analytic_query,
 }
 
 

@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/spill dir on tmpfs when available: the sandbox's virtio disk
+    # stalls for seconds under writeback (cluster deploys use local SSDs and
+    # should set PKS_LOCAL_DIR or spark.local.dir themselves)
+    local_dir = os.environ.get(
+        "PKS_LOCAL_DIR",
+        "/dev/shm/pks_spark_local" if os.path.isdir("/dev/shm") else "",
+    )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

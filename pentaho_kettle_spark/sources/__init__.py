@@ -21,3 +21,8 @@ from pentaho_kettle_spark.sources.generators import (  # noqa: F401
     random_value,
     row_generator,
 )
+
+from pentaho_kettle_spark.sources.kafka import (  # noqa: F401
+    parse_debezium_envelope,
+    read_kafka_changelog_stream,
+)

@@ -25,6 +25,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from pentaho_kettle_spark.cdc.changelog import read_changelog_stream
 from pentaho_kettle_spark.cdc.replay import apply_batch
+from pentaho_kettle_spark.cdc.skew import detect_hot_keys
 from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
 
@@ -34,24 +35,32 @@ def start_cdc_ingest(
     table: ParquetSnapshotTableIO,
     checkpoint_dir: str,
     query_name: str = "cdc-ingest",
-    salted: bool = False,
+    salted: bool | str = False,
     n_salts: int = 16,
     rename_hints: dict[str, str] | None = None,
     max_files_per_trigger: int | None = None,
     processing_time: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest query. Caller drives it (processAllAvailable for
-    tests / awaitTermination in production) and stops it."""
+    tests / awaitTermination in production) and stops it.
+
+    `salted="auto"` samples each micro-batch for hot (conv_id, turn_idx)
+    keys and salts only those — the per-batch twin of replay's auto mode."""
     stream = read_changelog_stream(spark, source_path, max_files_per_trigger)
 
     def _apply(batch_df, epoch_id: int) -> None:
+        use_salted, hot_keys = salted, None
+        if salted == "auto":
+            hot_keys = detect_hot_keys(batch_df, key_cols=table.key_cols).collect()
+            use_salted = bool(hot_keys)
         apply_batch(
             table,
             batch_df.drop("ingest_ts"),
             batch_id=f"{query_name}-epoch-{epoch_id}",
-            salted=salted,
+            salted=use_salted,
             n_salts=n_salts,
             rename_hints=rename_hints,
+            hot_keys=hot_keys,
         )
 
     writer = (

@@ -1,0 +1,131 @@
+"""Scheduled / asynchronous compaction for merge-on-read tables.
+
+The MoR fast path (parquet_snapshot._merge_apply_mor) makes ingest cost
+O(changes) by appending per-bucket delta files; the price is read
+amplification that grows with delta count. Folding deltas back into base is
+embarrassingly parallel per bucket and has no ordering dependency on ingest —
+so at scale it belongs OFF the ingest critical path (Iceberg's
+rewrite_data_files maintenance job / Hudi's async compactor). This module is
+that job:
+
+  * `CompactionPolicy` — pure function over a manifest: which buckets are
+    due. Triggers on delta-file count and/or delta-row share, so a hot
+    bucket compacts often and a cold one never does.
+  * `run_compaction_cycle` — one policy evaluation + compact() call; use
+    from a cron/Airflow-style external scheduler at cluster scale.
+  * `CompactionScheduler` — in-process background thread driving cycles on
+    an interval; what the sandbox (and any single-driver deployment) uses.
+    Safe against the live ingest writer because ParquetSnapshotTableIO
+    commits are mutation-based under the table's commit lock and compact()
+    folds a pinned file set (RewriteFiles semantics).
+
+To hand compaction fully to the scheduler, construct the table with
+`compact_delta_files=None` (disables the inline fold inside the batch
+commit) and attach a scheduler.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+
+@dataclass
+class CompactionPolicy:
+    """A bucket is due when EITHER bound is exceeded (None disables one)."""
+
+    max_delta_files: int | None = 8
+    max_delta_row_share: float | None = None  # delta rows / total rows in bucket
+
+    def buckets_due(self, manifest: dict) -> list[int]:
+        due = []
+        for b, entries in manifest.get("files", {}).items():
+            deltas = [e for e in entries if e.get("kind") == "delta"]
+            if not deltas:
+                continue
+            if self.max_delta_files is not None and len(deltas) > self.max_delta_files:
+                due.append(int(b))
+                continue
+            if self.max_delta_row_share is not None:
+                total = sum(e["rows"] for e in entries) or 1
+                share = sum(e["rows"] for e in deltas) / total
+                if share > self.max_delta_row_share:
+                    due.append(int(b))
+        return sorted(due)
+
+
+def run_compaction_cycle(
+    table: ParquetSnapshotTableIO, policy: CompactionPolicy | None = None
+) -> list[int]:
+    """Evaluate the policy against the current manifest and compact the due
+    buckets. Returns the buckets compacted (empty when nothing was due)."""
+    policy = policy or CompactionPolicy()
+    m = table.current_manifest()
+    if m is None:
+        return []
+    due = policy.buckets_due(m)
+    if not due:
+        return []
+    return table.compact(buckets=due)
+
+
+class CompactionScheduler:
+    """Background compactor: runs `run_compaction_cycle` every `interval_sec`
+    until stopped. Spark is thread-safe for job submission, so the fold jobs
+    interleave with ingest batches on the shared scheduler pools."""
+
+    def __init__(
+        self,
+        table: ParquetSnapshotTableIO,
+        policy: CompactionPolicy | None = None,
+        interval_sec: float = 30.0,
+    ):
+        self.table = table
+        self.policy = policy or CompactionPolicy()
+        self.interval_sec = interval_sec
+        self.cycles = 0
+        self.compacted: list[list[int]] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def start(self) -> "CompactionScheduler":
+        if self._thread is not None:
+            raise RuntimeError("scheduler already started")
+        self._thread = threading.Thread(
+            target=self._loop, name="pks-compaction", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval_sec):
+            try:
+                done = run_compaction_cycle(self.table, self.policy)
+                self.cycles += 1
+                if done:
+                    self.compacted.append(done)
+            except BaseException as exc:  # surface on stop(); don't die silently
+                self._error = exc
+                return
+
+    def stop(self, final_cycle: bool = True) -> None:
+        """Stop the loop; optionally run one last fold so the table ends
+        fully compacted (what a drain-and-shutdown deployment wants)."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=600)
+        if self._error is not None:
+            raise RuntimeError("compaction scheduler failed") from self._error
+        if final_cycle:
+            done = run_compaction_cycle(self.table, self.policy)
+            if done:
+                self.compacted.append(done)
+
+    def __enter__(self) -> "CompactionScheduler":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass, field
 
@@ -48,6 +49,11 @@ from pyspark.sql import types as T
 SYS_SEQ = "_seq"
 SYS_DELETED = "_deleted"
 SYS_COLS = (SYS_SEQ, SYS_DELETED)
+
+
+class _DuplicateBatch(Exception):
+    """Raised inside a commit mutation when the batch id is already
+    committed — turns into a skip, making re-delivered epochs no-ops."""
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -114,6 +120,12 @@ class ParquetSnapshotTableIO:
         self.n_buckets = n_buckets
         self.write_mode = write_mode
         self.compact_delta_files = compact_delta_files
+        # serializes manifest commits so an async compactor and the ingest
+        # writer can't lose each other's updates (the in-process reduction of
+        # Iceberg's optimistic-concurrency commit loop — all writers share
+        # this driver). Data-file writes happen OUTSIDE the lock; only the
+        # read-mutate-swap of the manifest is serialized.
+        self._commit_lock = threading.Lock()
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -142,6 +154,20 @@ class ParquetSnapshotTableIO:
         with open(tmp, "w") as f:
             f.write(name)
         os.rename(tmp, self._current_path())  # atomic pointer swap == commit
+
+    def _commit_mutation(self, mutate) -> dict:
+        """Re-read the CURRENT manifest under the commit lock, apply
+        `mutate(manifest) -> manifest` (a full new manifest except snapshot
+        bookkeeping), stamp snapshot_id/parent, swap. Writers express their
+        change against the latest state, so concurrent committers (ingest
+        batch vs async compaction) compose instead of clobbering."""
+        with self._commit_lock:
+            m = self.current_manifest()
+            m2 = mutate(m)
+            m2["snapshot_id"] = m["snapshot_id"] + 1
+            m2["parent"] = m["snapshot_id"]
+            self._commit(m2)
+            return m2
 
     def committed_batches(self) -> set[str]:
         m = self.current_manifest()
@@ -237,11 +263,15 @@ class ParquetSnapshotTableIO:
     # ---------- write ----------
 
     def _write_buckets(
-        self, df: DataFrame, snapshot_id: int, schema_version: int, kind: str = "base"
+        self, df: DataFrame, schema_version: int, kind: str = "base"
     ) -> dict:
         """Write df (must contain SYS cols) partitioned by bucket; return
-        {bucket: [file entries]} with row counts from parquet footers."""
-        outdir = os.path.join(self.root, "data", f"snap-{snapshot_id:06d}")
+        {bucket: [file entries]} with row counts from parquet footers.
+
+        The directory name is a uuid, NOT the next snapshot id: concurrent
+        writers (ingest batch + async compactor) both write before their
+        commit order is decided, so predicting the snapshot id races."""
+        outdir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
         staged = (
             df.withColumn("_bucket", bucket_expr(self.key_cols[0], self.n_buckets))
             .repartition("_bucket")
@@ -292,7 +322,7 @@ class ParquetSnapshotTableIO:
         )
         ts = TableSchema.from_struct(data_schema)
         sid = self.snapshot_id() + 1
-        files = self._write_buckets(df, sid, 0)
+        files = self._write_buckets(df, 0)
         prev = self.current_manifest()
         batches = (prev["committed_batches"] if prev else [])
         if batch_id is not None:
@@ -346,11 +376,13 @@ class ParquetSnapshotTableIO:
         history = dict(schema.history)
         history[str(new_version)] = fields
         new_schema = {"fields": fields, "version": new_version, "history": history}
-        m2 = dict(m)
-        m2["snapshot_id"] = m["snapshot_id"] + 1
-        m2["parent"] = m["snapshot_id"]
-        m2["schema"] = new_schema
-        self._commit(m2)
+
+        def _mutate(cur: dict) -> dict:
+            out = dict(cur)
+            out["schema"] = new_schema
+            return out
+
+        self._commit_mutation(_mutate)
         return TableSchema(**new_schema)
 
     # ---------- MERGE (the CDC apply) ----------
@@ -458,37 +490,42 @@ class ParquetSnapshotTableIO:
         )
         merged = merged.drop("_outcome")
 
-        sid = m["snapshot_id"] + 1
-        new_files = self._write_buckets(merged, sid, schema.version)
+        new_files = self._write_buckets(merged, schema.version)
         metrics = obs.get
         chg.unpersist()
 
-        files = {b: es for b, es in m["files"].items() if int(b) not in touched}
-        for b, es in new_files.items():
-            files[b] = es
-
         lineage_rec = {
             "batch_id": batch_id,
-            "snapshot_id": sid,
             "touched_buckets": sorted(touched),
             "per_bucket_rows": {b: sum(e["rows"] for e in es) for b, es in new_files.items()},
-            "metrics": {k: int(v) for k, v in metrics.items()},
+            "metrics": {k: int(v) if v is not None else 0 for k, v in metrics.items()},
             "seq_high_watermark": seq_high_watermark,
         }
-        hw = m.get("seq_high_watermark", -1)
-        self._commit(
-            {
-                "snapshot_id": sid,
-                "parent": m["snapshot_id"],
-                "schema": m["schema"],
+
+        def _mutate(cur: dict) -> dict:
+            if batch_id is not None and batch_id in set(cur["committed_batches"]):
+                raise _DuplicateBatch(batch_id)
+            files = {b: es for b, es in cur["files"].items() if int(b) not in touched}
+            for b, es in new_files.items():
+                files[b] = es
+            hw = cur.get("seq_high_watermark", -1)
+            return {
+                "schema": cur["schema"],
                 "n_buckets": self.n_buckets,
                 "files": files,
-                "committed_batches": [*m["committed_batches"],
-                                      *( [batch_id] if batch_id is not None else [] )],
-                "seq_high_watermark": max(hw, seq_high_watermark if seq_high_watermark is not None else -1),
-                "lineage": [*m["lineage"], lineage_rec],
+                "committed_batches": [*cur["committed_batches"],
+                                      *([batch_id] if batch_id is not None else [])],
+                "seq_high_watermark": max(
+                    hw, seq_high_watermark if seq_high_watermark is not None else -1
+                ),
+                "lineage": [*cur["lineage"], lineage_rec],
             }
-        )
+
+        try:
+            committed = self._commit_mutation(_mutate)
+        except _DuplicateBatch:
+            return {"skipped_duplicate_batch": batch_id}
+        lineage_rec["snapshot_id"] = committed["snapshot_id"]
         return lineage_rec
 
     def _merge_apply_mor(
@@ -525,53 +562,67 @@ class ParquetSnapshotTableIO:
             F.count(F.lit(1)).alias("rows_appended"),
             F.sum(F.col(SYS_DELETED).cast("long")).alias("tombstones"),
         )
-        sid = m["snapshot_id"] + 1
-        new_files = self._write_buckets(delta, sid, schema.version, kind="delta")
+        new_files = self._write_buckets(delta, schema.version, kind="delta")
         metrics = obs.get
-
-        files = {b: list(es) for b, es in m["files"].items()}
-        for b, es in new_files.items():
-            files.setdefault(b, [])
-            files[b] = files[b] + es
 
         lineage_rec = {
             "batch_id": batch_id,
-            "snapshot_id": sid,
             "mode": "mor",
             "touched_buckets": sorted(int(b) for b in new_files),
             "per_bucket_rows": {b: sum(e["rows"] for e in es) for b, es in new_files.items()},
-            "metrics": {k: int(v) for k, v in metrics.items()},
+            "metrics": {k: int(v) if v is not None else 0 for k, v in metrics.items()},
             "seq_high_watermark": seq_high_watermark,
         }
-        hw = m.get("seq_high_watermark", -1)
-        self._commit(
-            {
-                "snapshot_id": sid,
-                "parent": m["snapshot_id"],
-                "schema": m["schema"],
+
+        def _mutate(cur: dict) -> dict:
+            if batch_id is not None and batch_id in set(cur["committed_batches"]):
+                raise _DuplicateBatch(batch_id)
+            files = {b: list(es) for b, es in cur["files"].items()}
+            for b, es in new_files.items():
+                files[b] = files.get(b, []) + es
+            hw = cur.get("seq_high_watermark", -1)
+            return {
+                "schema": cur["schema"],
                 "n_buckets": self.n_buckets,
                 "files": files,
-                "committed_batches": [*m["committed_batches"],
+                "committed_batches": [*cur["committed_batches"],
                                       *([batch_id] if batch_id is not None else [])],
-                "seq_high_watermark": max(hw, seq_high_watermark if seq_high_watermark is not None else -1),
-                "lineage": [*m["lineage"], lineage_rec],
+                "seq_high_watermark": max(
+                    hw, seq_high_watermark if seq_high_watermark is not None else -1
+                ),
+                "lineage": [*cur["lineage"], lineage_rec],
             }
-        )
-        # auto-compaction: fold buckets whose delta count crossed the threshold
-        over = [
-            int(b)
-            for b, es in files.items()
-            if sum(1 for e in es if e.get("kind") == "delta") > self.compact_delta_files
-        ]
-        if over:
-            self.compact(buckets=over)
-            lineage_rec["compacted_buckets"] = over
+
+        try:
+            committed = self._commit_mutation(_mutate)
+        except _DuplicateBatch:
+            return {"skipped_duplicate_batch": batch_id}
+        lineage_rec["snapshot_id"] = committed["snapshot_id"]
+
+        # inline auto-compaction: fold buckets whose delta count crossed the
+        # threshold (an async CompactionScheduler replaces this when attached)
+        if self.compact_delta_files is not None:
+            over = [
+                int(b)
+                for b, es in committed["files"].items()
+                if sum(1 for e in es if e.get("kind") == "delta")
+                > self.compact_delta_files
+            ]
+            if over:
+                self.compact(buckets=over)
+                lineage_rec["compacted_buckets"] = over
         return lineage_rec
 
-    def compact(self, buckets: list[int] | None = None) -> None:
+    def compact(self, buckets: list[int] | None = None) -> list[int]:
         """Fold delta files into base for the given buckets (all if None):
         read the collapsed state (tombstones kept — expire_tombstones drops
-        them under a watermark policy) and rewrite those buckets as base."""
+        them under a watermark policy) and rewrite those buckets as base.
+
+        Concurrency-safe against a live ingest writer: the fold reads a
+        pinned set of file entries, and the commit removes exactly those
+        paths from the *current* manifest — delta files appended while the
+        rewrite ran survive untouched (Iceberg RewriteFiles semantics).
+        Returns the buckets actually compacted."""
         m = self.current_manifest()
         schema = TableSchema(**m["schema"])
         target = buckets if buckets is not None else [
@@ -579,35 +630,54 @@ class ParquetSnapshotTableIO:
             if any(e.get("kind") == "delta" for e in es)
         ]
         if not target:
-            return
-        collapsed = self.read_full(buckets=target)
-        sid = m["snapshot_id"] + 1
-        new_files = self._write_buckets(collapsed, sid, schema.version, kind="base")
-        files = {b: es for b, es in m["files"].items() if int(b) not in target}
-        for b, es in new_files.items():
-            files[b] = es
-        m2 = dict(m)
-        m2["snapshot_id"] = sid
-        m2["parent"] = m["snapshot_id"]
-        m2["files"] = files
-        m2["lineage"] = [*m["lineage"], {
-            "snapshot_id": sid, "mode": "compact", "compacted_buckets": sorted(target),
-        }]
-        self._commit(m2)
+            return []
+        # pin the exact entries being folded (not "whatever is current later")
+        folded = [
+            e for b, es in m["files"].items() if int(b) in target for e in es
+        ]
+        folded_paths = {e["path"] for e in folded}
+        df = self._read_files(folded, schema)
+        if df is None:
+            return []
+        collapsed = self._collapse_rows(df, schema.names())
+        new_files = self._write_buckets(collapsed, schema.version, kind="base")
+
+        def _mutate(cur: dict) -> dict:
+            files = {}
+            for b, es in cur["files"].items():
+                if int(b) in target:
+                    kept = [e for e in es if e["path"] not in folded_paths]
+                    files[b] = new_files.get(b, []) + kept
+                else:
+                    files[b] = list(es)
+            for b, es in new_files.items():
+                if b not in files:
+                    files[b] = list(es)
+            out = dict(cur)
+            out["files"] = files
+            out["lineage"] = [*cur["lineage"], {
+                "mode": "compact", "compacted_buckets": sorted(target),
+                "folded_files": len(folded_paths),
+            }]
+            return out
+
+        self._commit_mutation(_mutate)
+        return sorted(target)
 
     def expire_tombstones(self) -> None:
         """Compaction: rewrite all buckets dropping tombstones (safe once the
         out-of-order window has passed — a watermark decision in streaming)."""
         df = self.read_full()
         m = self.current_manifest()
-        sid = m["snapshot_id"] + 1
         live = df.filter(~F.col(SYS_DELETED))
-        files = self._write_buckets(live, sid, TableSchema(**m["schema"]).version)
-        m2 = dict(m)
-        m2["snapshot_id"] = sid
-        m2["parent"] = m["snapshot_id"]
-        m2["files"] = files
-        self._commit(m2)
+        files = self._write_buckets(live, TableSchema(**m["schema"]).version)
+
+        def _mutate(cur: dict) -> dict:
+            out = dict(cur)
+            out["files"] = files
+            return out
+
+        self._commit_mutation(_mutate)
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

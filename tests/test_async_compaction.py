@@ -1,0 +1,123 @@
+"""Async/scheduled compaction racing a live ingest writer.
+
+The commit path is mutation-based under the table's commit lock
+(parquet_snapshot._commit_mutation); compact() folds a pinned file set and
+removes exactly those paths at commit time. These tests drive a real race:
+a background CompactionScheduler folding while replay batches append deltas,
+with the pandas oracle as the ground truth."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.types as T
+import pytest
+
+from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
+from pentaho_kettle_spark.cdc.replay import replay_changelog
+from pentaho_kettle_spark.fixtures import gen_changelog, pandas_oracle_apply
+from pentaho_kettle_spark.tableio import (
+    CompactionPolicy,
+    CompactionScheduler,
+    ParquetSnapshotTableIO,
+    run_compaction_cycle,
+)
+
+DATA_SCHEMA = T.StructType(
+    [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
+)
+
+
+def _assert_matches_oracle(table, pdf):
+    got = table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got["ts"] = got["ts"].astype("datetime64[us]")
+    exp = pandas_oracle_apply(pdf).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp["ts"] = exp["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    return len(got)
+
+
+def test_policy_triggers_on_count_and_share():
+    manifest = {"files": {
+        "0": [{"kind": "base", "rows": 1000}] + [{"kind": "delta", "rows": 1}] * 3,
+        "1": [{"kind": "base", "rows": 10}, {"kind": "delta", "rows": 90}],
+        "2": [{"kind": "base", "rows": 1000}],
+    }}
+    assert CompactionPolicy(max_delta_files=2).buckets_due(manifest) == [0]
+    assert CompactionPolicy(
+        max_delta_files=None, max_delta_row_share=0.5
+    ).buckets_due(manifest) == [1]
+    assert CompactionPolicy(max_delta_files=0).buckets_due(manifest) == [0, 1]
+
+
+def test_manual_cycle_folds_deltas(spark, tmp_path):
+    pdf = gen_changelog(4000, 200, seed=3)
+    table = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "t"), n_buckets=4, write_mode="mor",
+        compact_delta_files=None,  # inline compaction off
+    )
+    table.init_empty(DATA_SCHEMA)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+    replay_changelog(spark, table, log, n_batches=4, run_id="m")
+
+    m = table.current_manifest()
+    assert any(e["kind"] == "delta" for es in m["files"].values() for e in es)
+    done = run_compaction_cycle(table, CompactionPolicy(max_delta_files=0))
+    assert done  # every delta-carrying bucket folded
+    m2 = table.current_manifest()
+    assert not any(e["kind"] == "delta" for es in m2["files"].values() for e in es)
+    _assert_matches_oracle(table, pdf)
+
+
+def test_scheduler_races_live_ingest(spark, tmp_path):
+    """Aggressive scheduler (near-zero interval) folding WHILE 12 replay
+    batches commit: final state must still equal the oracle bit-for-bit."""
+    pdf = gen_changelog(24000, 600, seed=9)
+    table = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "t"), n_buckets=8, write_mode="mor",
+        compact_delta_files=None,
+    )
+    table.init_empty(DATA_SCHEMA)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+
+    sched = CompactionScheduler(
+        table, CompactionPolicy(max_delta_files=1), interval_sec=0.05
+    ).start()
+    try:
+        replay_changelog(spark, table, log, n_batches=12, run_id="race")
+    finally:
+        sched.stop(final_cycle=True)
+
+    assert sched.compacted, "scheduler never compacted — race not exercised"
+    rows = _assert_matches_oracle(table, pdf)
+    assert rows > 0
+    # fully folded after the drain cycle
+    m = table.current_manifest()
+    assert not any(e["kind"] == "delta" for es in m["files"].values() for e in es)
+
+
+def test_scheduler_error_surfaces_on_stop(spark, tmp_path):
+    table = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=2)
+    table.init_empty(DATA_SCHEMA)
+    sched = CompactionScheduler(table, interval_sec=0.01)
+    sched.table = None  # force a failure inside the loop
+    sched.start()
+    import time
+
+    time.sleep(0.2)
+    with pytest.raises(RuntimeError, match="compaction scheduler failed"):
+        sched.stop(final_cycle=False)
+
+
+def test_duplicate_batch_skipped_under_mutation_commit(spark, tmp_path):
+    """The duplicate check lives inside the commit mutation now — replaying
+    an identical run must not change the snapshot."""
+    pdf = gen_changelog(2000, 100, seed=5)
+    table = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=4,
+                                   write_mode="mor", compact_delta_files=None)
+    table.init_empty(DATA_SCHEMA)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+    replay_changelog(spark, table, log, n_batches=3, run_id="dup")
+    sid = table.snapshot_id()
+    recs = replay_changelog(spark, table, log, n_batches=3, run_id="dup")
+    assert all("skipped_duplicate_batch" in r for r in recs)
+    assert table.snapshot_id() == sid

@@ -39,6 +39,33 @@ def test_run_ktr_merge_join(spark):
     assert rows == {1: "one", 2: "two", 3: None}
 
 
+def test_run_ktr_row_shaping_sweep(spark):
+    """IfNull → FieldSplitter → StringOperations → NumberRange → Janino →
+    ConcatFields → CheckSum → Sequence, all from one .ktr file."""
+    outs = run_ktr(spark, os.path.join(FIX, "sample_shaping.ktr"))
+    rows = {r.id: r for r in outs["Seq"].collect()}
+    assert rows[2].nick == "anon" and rows[1].nick == "ada"
+    assert rows[1].first == "ADA" and rows[1].last == "lovelace"
+    assert "full_name" not in outs["Seq"].columns  # splitter drops the source
+    assert (rows[1].band, rows[2].band, rows[3].band) == ("high", "low", "mid")
+    assert rows[3].bonus == 73.25 * 2 + 3
+    assert rows[1].handle == "ADA_ada"
+    assert len(rows[1].row_hash) == 64  # sha256 hex
+    assert sorted(r.rownum for r in rows.values()) == sorted(
+        {r.rownum for r in rows.values()}
+    )  # unique sequence values
+
+
+def test_run_ktr_merge_rows_diff_and_lag(spark):
+    outs = run_ktr(spark, os.path.join(FIX, "sample_diff.ktr"))
+    rows = {r.k: r for r in outs["Prev value"].collect()}
+    assert rows[1].flag == "identical"
+    assert rows[2].flag == "changed" and rows[2].v == "B2"
+    assert rows[3].flag == "deleted" and rows[3].v == "c"
+    assert rows[4].flag == "new" and rows[4].v == "d"
+    assert rows[4].prev_v is None  # first in its flag group
+
+
 def test_unsupported_step_raises(spark, tmp_path):
     p = tmp_path / "bad.ktr"
     p.write_text(
