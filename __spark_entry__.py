@@ -13,6 +13,7 @@ across engines.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,8 +21,10 @@ from pyspark.sql import functions as F
 
 from pentaho_kettle_spark import operators as ops
 from pentaho_kettle_spark.functions import dedup as fdedup
+from pentaho_kettle_spark.functions import oracle_sqlgen as osql
 from pentaho_kettle_spark.functions import similarity as fsim
 from pentaho_kettle_spark.functions import text as ftext
+from pentaho_kettle_spark.functions.portable import phash64
 from pentaho_kettle_spark.operators.calculator import Calc
 from pentaho_kettle_spark.operators.group_by import Agg
 
@@ -65,8 +68,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_q1_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
     li = ops.calculator(li, [
+        Calc("_one_minus_disc", "SUBTRACT", "1", "l_discount", remove=True),
         Calc("disc_price", "MULTIPLY", "l_extendedprice", "_one_minus_disc"),
-    ]) if False else li.withColumn("disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ])
     t, _f = ops.filter_rows(li, {"field": "l_shipdate", "function": "<=", "value": "2001-09-01"})
     out = ops.group_by(
         t,
@@ -112,16 +116,19 @@ def _q_filter_null_routing(spark, sf):
 def _q_calculator_math(spark, sf):
     li = _t(spark, sf, "lineitem")
     out = ops.calculator(li, [
-        Calc("charge", "MULTIPLY", "l_extendedprice", "_chargef"),
+        Calc("_one_plus_tax", "ADD", "1", "l_tax", remove=True),
+        Calc("_one_minus_disc", "SUBTRACT", "1", "l_discount", remove=True),
+        Calc("_base", "MULTIPLY", "l_extendedprice", "_one_plus_tax", remove=True),
+        Calc("charge", "MULTIPLY", "_base", "_one_minus_disc"),
         Calc("qty_sqrt", "SQRT", "l_quantity"),
-        Calc("tax_pct", "PERCENT_1", "l_tax", "l_quantity"),
-        Calc("disc_nvl", "NVL", "l_discount", "l_tax"),
-    ]) if False else (
-        li.withColumn("charge", _rnd(F.col("l_extendedprice") * (1 + F.col("l_tax")) * (1 - F.col("l_discount")), 2))
-        .withColumn("qty_sqrt", _rnd(F.sqrt("l_quantity"), 4))
-        .withColumn("qty_mod", F.col("l_quantity") % 7)
+        Calc("qty_mod", "MOD", "l_quantity", "7"),
+    ])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        _rnd("charge", 2).alias("charge"),
+        _rnd("qty_sqrt", 4).alias("qty_sqrt"),
+        "qty_mod",
     )
-    return out.select("l_orderkey", "l_linenumber", "charge", "qty_sqrt", "qty_mod")
 
 
 def _q_calculator_dates(spark, sf):
@@ -528,22 +535,30 @@ def _q_regex_eval(spark, sf):
     return out.select("doc_id", "matched", "w1", "w2")
 
 
-# ---- rows-only (no SQL oracle: hash/approx/stub-dependent) ----
+# ---- hash-based dedup / ANN / text queries (portable md5-hash variants so
+# the DuckDB oracle recomputes them bit-for-bit; scale runs keep xxhash64) ----
 
 def _q_minhash_dedup(spark, sf):
     d = _t(spark, sf, "documents")
-    kept = fdedup.minhash_lsh_keep(d, "text", "doc_id", num_hashes=32, bands=8)
+    kept = fdedup.minhash_lsh_keep(
+        d, "text", "doc_id", num_hashes=32, bands=8, hash_fn=phash64
+    )
     return kept.select("doc_id", "n_chars")
 
 
 def _q_simhash_candidates(spark, sf):
     d = _t(spark, sf, "documents")
-    return fdedup.simhash_candidates(d, "text", "doc_id", max_hamming=8)
+    out = fdedup.simhash_candidates(
+        d, "text", "doc_id", max_hamming=8, hash_fn=phash64, n_bits=60, n_chunks=4
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def _q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return fdedup.ngram_jaccard_pairs(d, "text", "doc_id", k_shingle=3, min_jaccard=0.2)
+    return fdedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", k_shingle=3, min_jaccard=0.2, hash_fn=phash64
+    )
 
 
 def _q_lsh_ann(spark, sf):
@@ -553,12 +568,13 @@ def _q_lsh_ann(spark, sf):
     queries = corpus.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return fsim.lsh_ann_topk(corpus, queries, k=5, n_planes=6, dim=64)
+    out = fsim.lsh_ann_topk(corpus, queries, k=5, n_planes=6, dim=64)
+    return out.select("query_id", "vec_id", _rnd("cosine", 5).alias("cosine"))
 
 
 def _q_text_quality(spark, sf):
     d = _t(spark, sf, "documents")
-    return ftext.add_text_features(d).select(
+    return ftext.add_text_features(d, hash_fn=phash64).select(
         "doc_id", "n_tokens", "quality", "lang_pred", "fingerprint"
     )
 
@@ -576,7 +592,98 @@ def _q_multimodal_features(spark, sf):
         F.lit(64).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    # the driver's pandas canonicalizer can't hash array cells — project the
+    # feature vector to a stable CSV of its (exact) byte values
+    feature_bytes = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("feature"),
+            lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+        ),
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", "digest",
+        feature_bytes.alias("feature_bytes"), "decode_ok",
+    )
+
+
+def _q_calculator_ext(spark, sf):
+    """Exercises 14 more Calculator functions than calculator_math/dates —
+    arithmetic combos, min/max, remainder, hex round-trip, levenshtein,
+    timestamp arithmetic — all routed through ops.calculator."""
+    o = _t(spark, sf, "orders")
+    o = o.withColumn("o_ts", F.to_timestamp("o_orderdate")).withColumn(
+        "sec_off", (F.col("o_orderkey") % 100).cast("int")
+    )
+    out = ops.calculator(o, [
+        Calc("add3", "ADD3", "o_orderkey", "o_custkey", "3"),
+        Calc("max2", "MAXIMUM", "o_totalprice", "150000.0"),
+        Calc("min2", "MINIMUM", "o_totalprice", "150000.0"),
+        Calc("rem", "REMAINDER", "o_totalprice", "97"),
+        Calc("prio_hex", "CHAR_TO_HEX_ENCODE", "o_orderpriority"),
+        Calc("prio_rt", "HEX_TO_CHAR_DECODE", "prio_hex"),
+        Calc("lev", "LEVENSHTEIN_DISTANCE", "o_orderpriority", "o_orderstatus"),
+        Calc("pct2", "PERCENT_2", "o_totalprice", "10"),
+        Calc("pct3", "PERCENT_3", "o_totalprice", "10"),
+        Calc("comb1", "COMBINATION_1", "o_totalprice", "o_orderkey", "2"),
+        Calc("comb2", "COMBINATION_2", "o_totalprice", "o_orderkey"),
+        Calc("neg", "NEGATE", "o_totalprice"),
+        Calc("later", "ADD_SECONDS", "o_ts", "sec_off"),
+        Calc("dd_msec", "DATE_DIFF_MSEC", "later", "o_ts"),
+    ])
+    return out.select(
+        "o_orderkey", "add3", "max2", "min2", "rem", "prio_hex", "prio_rt", "lev",
+        _rnd("pct2", 4).alias("pct2"),
+        _rnd("pct3", 4).alias("pct3"),
+        _rnd("comb1", 2).alias("comb1"),
+        _rnd("comb2", 2).alias("comb2"),
+        "neg", "dd_msec",
+    )
+
+
+def _q_cdc_merge_apply(spark, sf):
+    """END-TO-END tableio oracle row: derive a deterministic changelog from
+    `events` (key = (user_id, event_type), seq = event_id, delete when
+    event_id % 11 == 0), replay it through ParquetSnapshotTableIO in FOUR
+    out-of-order merge_apply batches (MoR mode + inline compaction +
+    a final full compact), then read the table back. The LWW contract makes
+    the result identical to a single global collapse — which is exactly what
+    the DuckDB oracle computes."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.lww import lww_collapse
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_cdc_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        data_schema = ev.select("user_id", "event_type", "value", "ts").schema
+        tio.init_empty(data_schema)
+        for i in range(4):
+            batch = ev.filter(F.pmod(F.col("seq"), F.lit(4)) == i)
+            collapsed = lww_collapse(
+                batch, key_cols=["user_id", "event_type"], lww_col="ts", seq_col="seq"
+            )
+            tio.merge_apply(collapsed, batch_id=f"corr-b{i}")
+        tio.compact()
+        out = tio.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        # materialize before the table root is deleted
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -628,7 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "append_streams": _q_append_streams,
         "regex_eval": _q_regex_eval,
-        # rows-only (non-SQL-expressible: hash-function- or stub-dependent)
+        "calculator_ext": _q_calculator_ext,
+        "cdc_merge_apply": _q_cdc_merge_apply,
+        # hash-based queries with generated DuckDB oracles (portable md5 hash)
         "minhash_dedup": _q_minhash_dedup,
         "simhash_candidates": _q_simhash_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -957,4 +1066,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(text, '^(\w+) (\w+)', 2) END AS w2
             FROM documents
         """,
+        "calculator_ext": """
+            SELECT o_orderkey,
+                   o_orderkey + o_custkey + 3 AS add3,
+                   greatest(o_totalprice, 150000.0) AS max2,
+                   least(o_totalprice, 150000.0) AS min2,
+                   fmod(o_totalprice, 97) AS rem,
+                   hex(o_orderpriority) AS prio_hex,
+                   o_orderpriority AS prio_rt,
+                   levenshtein(o_orderpriority, o_orderstatus) AS lev,
+                   floor((o_totalprice - (o_totalprice * 10 / 100))*10000 + 0.5)/10000 AS pct2,
+                   floor((o_totalprice + (o_totalprice * 10 / 100))*10000 + 0.5)/10000 AS pct3,
+                   floor((o_totalprice + o_orderkey * 2)*100 + 0.5)/100 AS comb1,
+                   floor(sqrt(o_totalprice * o_totalprice + o_orderkey * o_orderkey)*100 + 0.5)/100 AS comb2,
+                   -o_totalprice AS neg,
+                   (o_orderkey % 100) * 1000 AS dd_msec
+            FROM orders
+        """,
+        "cdc_merge_apply": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        "minhash_dedup": osql.minhash_keep_sql(num_hashes=32, bands=8, k_shingle=5),
+        "simhash_candidates": osql.simhash_candidates_sql(
+            max_hamming=8, k_shingle=3, n_bits=60, n_chunks=4
+        ),
+        "ngram_jaccard": osql.ngram_jaccard_sql(
+            k_shingle=3, min_jaccard=0.2, max_shingles_per_doc=512,
+            id_filter="doc_id < 200",
+        ),
+        "lsh_ann": osql.lsh_ann_sql(k=5, n_planes=6, dim=64),
+        "text_quality": osql.text_quality_sql(),
+        "multimodal_features": osql.multimodal_features_sql("doc_id < 100"),
     }

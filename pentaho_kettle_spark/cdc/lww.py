@@ -55,7 +55,9 @@ def lww_collapse(
     return agg.select(*cols)
 
 
-_HOT_SEP = ""
+# Unit separator: cannot occur in key values, so multi-column keys like
+# ("ab","c") and ("a","bc") map to distinct membership strings.
+_HOT_SEP = "\x1f"
 
 
 def lww_collapse_salted(

@@ -27,16 +27,18 @@ def _normalize(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def _shingles(col: Column, k: int = 5) -> Column:
-    """Word k-shingles → array of 64-bit hashes."""
+def _shingles(col: Column, k: int = 5, hash_fn=F.xxhash64) -> Column:
+    """Word k-shingles → array of 64-bit hashes. `hash_fn` defaults to
+    xxhash64 (fastest, the scale path); pass `portable.phash64` for runs that
+    must be reproducible in engines without xxhash64 (the DuckDB oracle)."""
     words = F.split(_normalize(col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k,
         F.array_distinct(
-            F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))))
+            F.transform(idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(words, i + 1, k))))
         ),
-    ).otherwise(F.array(F.xxhash64(_normalize(col))))
+    ).otherwise(F.array(hash_fn(_normalize(col))))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -75,12 +77,13 @@ def minhash_signature(col: Column, num_hashes: int = 32, k_shingle: int = 5) -> 
 
 
 def minhash_signatures_exploded(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k_shingle: int
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k_shingle: int,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Scale path: one row per doc with h0..h{n-1} minhash columns, computed
     by exploding shingles and hash-aggregating per id — map-side partial mins
     shrink the shuffle to num_hashes longs per doc."""
-    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle)).alias("_s"))
+    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s"))
     ex = ex.withColumn("_sm", F.pmod(F.col("_s"), F.lit(_MERSENNE)))
     aggs = [
         F.min((F.col("_sm") * a + b) % _MERSENNE).alias(f"h{i}")
@@ -96,20 +99,21 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 5,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-duplicate clusters via banded MinHash LSH. Returns (id, dup_of)
     pairs where dup_of is the smallest id sharing a band bucket (candidate
     near-dup). Union-find over connected components is left to the caller
     (or iterate pairs→min-label to convergence for full clustering)."""
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, k_shingle)
+    with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, k_shingle, hash_fn)
     band_rows = with_sig.select(
         id_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    hash_fn(
                         F.concat_ws(",", *[
                             F.col(f"h{b * rows_per_band + r}").cast("string")
                             for r in range(rows_per_band)
@@ -138,21 +142,24 @@ def minhash_lsh_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.join(dups.select(id_col), on=id_col, how="left_anti")
 
 
-def simhash_table(df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3) -> DataFrame:
+def simhash_table(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3,
+    hash_fn=F.xxhash64, n_bits: int = 64,
+) -> DataFrame:
     """64-bit SimHash per doc: explode shingles, per-bit ±1 vote sums as 64
     hash-agg columns (all shift amounts are literals → whole-stage codegen),
     then reassemble the sign pattern into one long. Map-side partial sums
     make the shuffle 64 longs per doc regardless of doc length."""
-    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle)).alias("_s"))
+    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s"))
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("_s"), b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = ex.groupBy(id_col).agg(*votes)
     out = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         bitval = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
         out = out.bitwiseOR(F.when(F.col(f"v{b}") > 0, bitval).otherwise(F.lit(0).cast("long")))
     return agg.select(F.col(id_col), out.alias("simhash"))
@@ -163,20 +170,24 @@ def simhash_hamming(a: Column, b: Column) -> Column:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    hash_fn=F.xxhash64, n_bits: int = 64, n_chunks: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs: band the 64-bit simhash into 4×16-bit chunks
-    (pigeonhole: ≤3 differing bits ⇒ ≥1 identical chunk), bucket-join, then
-    verify by full hamming distance."""
-    base = simhash_table(df, text_col, id_col).withColumnRenamed("simhash", "_sh")
+    """Candidate near-dup pairs: band the n_bits simhash into n_chunks chunks
+    (pigeonhole: ≤ n_chunks-1 differing bits ⇒ ≥1 identical chunk),
+    bucket-join, then verify by full hamming distance."""
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    base = simhash_table(df, text_col, id_col, hash_fn=hash_fn, n_bits=n_bits)\
+        .withColumnRenamed("simhash", "_sh")
     chunks = base.select(
         id_col,
         "_sh",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("chunk"),
-                         F.shiftrightunsigned(F.col("_sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
-                for i in range(4)
+                         F.shiftrightunsigned(F.col("_sh"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"))
+                for i in range(n_chunks)
             ])
         ).alias("cc"),
     ).select(id_col, "_sh", "cc.chunk", "cc.v")
@@ -199,13 +210,16 @@ def ngram_jaccard_pairs(
     k_shingle: int = 3,
     min_jaccard: float = 0.8,
     max_shingles_per_doc: int = 512,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-free inverted-index candidates: explode
     shingles → co-occurrence counts per pair → |A∩B| / (|A|+|B|-|A∩B|).
     The shingle cap bounds the explode fan-out (log what was dropped at call
     sites). Suited to verifying LSH candidates or small-to-medium corpora;
     at full scale run it on minhash_lsh candidates only."""
-    sh = F.slice(_shingles(F.col(text_col), k_shingle), 1, max_shingles_per_doc)
+    # sort before capping: "the max_shingles smallest shingle hashes" is a
+    # deterministic, engine-independent subset (array_distinct order is not)
+    sh = F.slice(F.array_sort(_shingles(F.col(text_col), k_shingle, hash_fn)), 1, max_shingles_per_doc)
     base = df.select(F.col(id_col), sh.alias("_sh")).withColumn("_n", F.size("_sh"))
     ex = base.select(id_col, "_n", F.explode("_sh").alias("_s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -215,8 +229,11 @@ def ngram_jaccard_pairs(
                  F.col("a._n").alias("na"), F.col("b._n").alias("nb"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # floor-form rounding: identical float ops on Spark and DuckDB (see
+    # __spark_entry__._rnd) so the oracle hash-compares bit-for-bit
     jac = inter.withColumn(
-        "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+        "jaccard",
+        F.floor(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) * 1000000 + F.lit(0.5)) / 1000000,
     )
     return jac.filter(F.col("jaccard") >= min_jaccard).select("id_a", "id_b", "jaccard")
 

@@ -31,7 +31,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, sha1 string, "
+    "media_id long, kind string, n_bytes long, digest string, "
     "feature array<float>, decode_ok boolean"
 )
 
@@ -41,11 +41,13 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Deterministic-fake policy for tests: derive a fixed 8-float 'feature'
     from the payload bytes so the pipeline is exercisable end-to-end; swap
-    this body for PIL/torchvision on a real cluster."""
+    this body for PIL/torchvision on a real cluster. md5 (not a faster
+    non-cryptographic hash) so the DuckDB oracle can recompute the fake
+    features byte-for-byte."""
     if payload is None:
         raise NotImplementedError("no payload")
-    digest = hashlib.sha1(payload).digest()
-    return np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32).reshape(-1)[:8] / 255.0
+    digest = hashlib.md5(payload).digest()
+    return np.frombuffer(digest[:8], dtype=np.uint8).astype(np.float32) / 255.0
 
 
 def extract_media_features(df: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
@@ -61,8 +63,8 @@ def extract_media_features(df: DataFrame, batch_hint_rows: int = 1024) -> DataFr
                 "media_id": b["media_id"],
                 "kind": b["kind"],
                 "n_bytes": b["payload"].map(lambda p: len(p) if p is not None else 0),
-                "sha1": b["payload"].map(
-                    lambda p: hashlib.sha1(p).hexdigest() if p is not None else None
+                "digest": b["payload"].map(
+                    lambda p: hashlib.md5(p).hexdigest() if p is not None else None
                 ),
             }
             feats, oks = [], []

@@ -1,0 +1,243 @@
+"""DuckDB oracle SQL generators for the hash-based dedup / ANN / text queries.
+
+The Spark queries and these SQL twins share every constant: the seeded
+minhash coefficients (`dedup._minhash_coeffs`), the seeded hyperplanes
+(`similarity._planes`), the Mersenne modulus, and the portable md5-derived
+hash (`portable.phash64` / `phash64_sql`). Both sides therefore compute the
+same integers/doubles bit-for-bit and the driver's value-hash comparison is
+exact — these are real oracles, not rows-only checks.
+
+Everything here is plain ANSI-ish DuckDB SQL over the driver-registered
+views (documents, embeddings); the strings are generated because 32 minhash
+aggregates / 60 simhash vote columns are not worth writing by hand.
+"""
+
+from __future__ import annotations
+
+from pentaho_kettle_spark.functions.dedup import _MERSENNE, _minhash_coeffs
+from pentaho_kettle_spark.functions.portable import phash64_sql
+from pentaho_kettle_spark.functions.similarity import _planes
+
+# Normalized text + word array, shared by every shingling oracle.
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def _shingle_cte(k: int) -> str:
+    """CTE producing (doc_id, shingles LIST<BIGINT>) — the twin of
+    dedup._shingles: word k-grams hashed with the portable hash, distinct;
+    whole-text hash when fewer than k words."""
+    gram = phash64_sql(f"array_to_string(w[i:i+{k - 1}], ' ')")
+    whole = phash64_sql("norm")
+    return f"""
+      base AS (SELECT doc_id, n_chars, {_NORM} AS norm FROM documents),
+      wrds AS (SELECT doc_id, n_chars, norm, string_split(norm, ' ') AS w FROM base),
+      sh AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN len(w) >= {k}
+                    THEN list_distinct(list_transform(range(1, len(w) - {k} + 2),
+                                                      i -> {gram}))
+                    ELSE [{whole}] END AS shingles
+        FROM wrds)
+    """
+
+
+def minhash_keep_sql(num_hashes: int = 32, bands: int = 8, k_shingle: int = 5) -> str:
+    coeffs = _minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ",\n            ".join(
+        f"min((sm * {a} + {b}) % {_MERSENNE}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for b in range(bands):
+        hs = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        cat = " || ',' || ".join(f"{h}::VARCHAR" for h in hs)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {phash64_sql(cat)} AS bucket FROM sig"
+        )
+    band_rows = "\n          UNION ALL ".join(band_selects)
+    return f"""
+        WITH {_shingle_cte(k_shingle)},
+        ex AS (SELECT doc_id, unnest(shingles) % {_MERSENNE} AS sm FROM sh),
+        sig AS (
+          SELECT doc_id,
+            {mins}
+          FROM ex GROUP BY doc_id),
+        band_rows AS (
+          {band_rows}),
+        rep AS (SELECT band, bucket, min(doc_id) AS rep
+                FROM band_rows GROUP BY band, bucket),
+        dup AS (SELECT DISTINCT br.doc_id
+                FROM band_rows br JOIN rep USING (band, bucket)
+                WHERE br.doc_id <> rep.rep)
+        SELECT d.doc_id, d.n_chars FROM documents d ANTI JOIN dup USING (doc_id)
+    """
+
+
+def simhash_candidates_sql(
+    max_hamming: int = 8, k_shingle: int = 3, n_bits: int = 60, n_chunks: int = 4
+) -> str:
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    votes = ",\n            ".join(
+        f"sum(CASE WHEN (s >> {b}) & 1 <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    assemble = "\n             + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    chunk_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, sim, {i} AS chunk, (sim >> {i * chunk_bits}) & {mask} AS v FROM sh2"
+        for i in range(n_chunks)
+    )
+    return f"""
+        WITH {_shingle_cte(k_shingle)},
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        votes AS (
+          SELECT doc_id,
+            {votes}
+          FROM ex GROUP BY doc_id),
+        sh2 AS (SELECT doc_id,
+               ({assemble})::BIGINT AS sim
+           FROM votes),
+        chunks AS (
+          {chunk_rows})
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.sim, r.sim))::BIGINT AS hamming
+        FROM chunks l JOIN chunks r
+          ON l.chunk = r.chunk AND l.v = r.v AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
+    """
+
+
+def ngram_jaccard_sql(
+    k_shingle: int = 3,
+    min_jaccard: float = 0.2,
+    max_shingles_per_doc: int = 512,
+    id_filter: str = "doc_id < 200",
+) -> str:
+    return f"""
+        WITH {_shingle_cte(k_shingle)},
+        capped AS (
+          SELECT doc_id,
+                 list_sort(shingles)[1:{max_shingles_per_doc}] AS shc
+          FROM sh WHERE {id_filter}),
+        ex AS (SELECT doc_id, len(shc) AS n, unnest(shc) AS s FROM capped),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                 count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               floor(i / (na + nb - i) * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM inter
+        WHERE floor(i / (na + nb - i) * 1000000 + 0.5) / 1000000 >= {min_jaccard}
+    """
+
+
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')"
+_LANG_SQL = {
+    "en": "('the','and','of','to','is')",
+    "de": "('der','die','und','das','ist')",
+    "fr": "('le','la','les','et','est')",
+    "es": "('el','la','los','que','es')",
+}
+
+
+def text_quality_sql() -> str:
+    lang_hits = ",\n            ".join(
+        f"len(list_filter(lwords, x -> x IN {m}))::BIGINT AS hits_{lang}"
+        for lang, m in _LANG_SQL.items()
+    )
+    # tie-break = lexicographically greatest language code, mirroring Spark's
+    # array_max over struct(hits, lang): check in descending lang order.
+    best = """CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                   WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                   WHEN hits_es = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+                   WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                   ELSE 'de' END"""
+    fp = phash64_sql("norm")
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 {_NORM} AS norm,
+                 length(text)::DOUBLE AS len,
+                 string_split_regex(lower(text), '\s+') AS lwords,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT AS words_trim,
+                 length(regexp_replace(text, '[^.,;:!?()\[\]]', '', 'g'))::BIGINT AS punct_n,
+                 length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE AS nonalnum
+          FROM documents),
+        feats AS (
+          SELECT doc_id, norm, len,
+            (words_trim + punct_n)::BIGINT AS n_tokens,
+            len(lwords)::DOUBLE AS n_words,
+            len(list_filter(lwords, x -> x IN {_STOPWORDS_SQL}))::DOUBLE AS stop_hits,
+            nonalnum,
+            {lang_hits}
+          FROM t),
+        q AS (
+          SELECT doc_id, norm, n_tokens,
+            CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS stop_ratio,
+            nonalnum / greatest(len, 1.0) AS punct_ratio,
+            least(len / 500.0, 1.0) AS len_score,
+            CASE WHEN n_words > 0 THEN len / n_words ELSE 0.0 END AS avg_word,
+            hits_en, hits_de, hits_fr, hits_es
+          FROM feats)
+        SELECT doc_id, n_tokens,
+          floor((0.4 * len_score
+                 + 0.2 * (1 - least(punct_ratio * 4, 1.0))
+                 + 0.2 * least(stop_ratio * 5, 1.0)
+                 + 0.2 * (CASE WHEN avg_word >= 3 AND avg_word <= 12
+                               THEN 1.0 ELSE 0.3 END)) * 1000000 + 0.5) / 1000000
+            AS quality,
+          {best} AS lang_pred,
+          {fp} AS fingerprint
+        FROM q
+    """
+
+
+def lsh_ann_sql(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    planes = _planes(dim, n_planes)
+
+    def bucket(vexpr: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in p)
+            terms.append(
+                f"(CASE WHEN list_dot_product({vexpr}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + "\n             + ".join(terms) + ")::BIGINT"
+
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3),
+        cb AS (SELECT vec_id, v, {bucket("v")} AS bkt FROM c),
+        qb AS (SELECT query_id, qv, {bucket("qv")} AS bkt FROM q),
+        scored AS (
+          SELECT query_id, vec_id,
+                 list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                   AS cos_raw
+          FROM cb JOIN qb USING (bkt))
+        SELECT query_id, vec_id, floor(cos_raw * 100000 + 0.5) / 100000 AS cosine
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) <= {k}
+    """
+
+
+def multimodal_features_sql(id_filter: str = "doc_id < 100") -> str:
+    """Twin of functions/multimodal.extract_media_features over the fake
+    deterministic decode: payload = utf-8 bytes of text, digest = md5 hex,
+    feature bytes = first 8 md5 digest bytes (stringified by the query)."""
+    byte_i = "(('0x' || substr(md5(text), 2*i - 1, 2))::INT)::VARCHAR"
+    return f"""
+        SELECT doc_id::BIGINT AS media_id,
+               'image' AS kind,
+               strlen(text)::BIGINT AS n_bytes,
+               md5(text) AS digest,
+               array_to_string(list_transform(range(1, 9), i -> {byte_i}), ',')
+                 AS feature_bytes,
+               TRUE AS decode_ok
+        FROM documents WHERE {id_filter}
+    """

@@ -41,11 +41,12 @@ def quality_score(col: Column) -> Column:
     len_score = F.least(length / F.lit(500.0), F.lit(1.0))
     avg_word = F.when(n_words > 0, length / n_words).otherwise(F.lit(0.0))
     word_score = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
-    return F.round(
+    raw = (
         0.4 * len_score + 0.2 * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
-        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * word_score,
-        6,
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * word_score
     )
+    # floor-form rounding: same float ops on Spark and DuckDB (oracle parity)
+    return F.floor(raw * 1000000 + F.lit(0.5)) / 1000000
 
 
 def language_id(col: Column) -> Column:
@@ -59,21 +60,22 @@ def language_id(col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def fingerprint(col: Column, normalize: bool = True) -> Column:
+def fingerprint(col: Column, normalize: bool = True, hash_fn=F.xxhash64) -> Column:
     """Document fingerprint: 64-bit hash of the normalized text (rolling-hash
     equivalent at document granularity; shingle-level hashing lives in
-    functions/dedup.py)."""
+    functions/dedup.py). `hash_fn=portable.phash64` gives a DuckDB-
+    reproducible fingerprint for oracle runs."""
     c = col
     if normalize:
         c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return F.xxhash64(c)
+    return hash_fn(c)
 
 
-def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def add_text_features(df: DataFrame, text_col: str = "text", hash_fn=F.xxhash64) -> DataFrame:
     c = F.col(text_col)
     return (
         df.withColumn("n_tokens", token_count(c))
         .withColumn("quality", quality_score(c))
         .withColumn("lang_pred", language_id(c))
-        .withColumn("fingerprint", fingerprint(c))
+        .withColumn("fingerprint", fingerprint(c, hash_fn=hash_fn))
     )

@@ -152,30 +152,48 @@ def closure_generator(
     df: DataFrame, parent_field: str, child_field: str, distance_field: str = "distance",
     max_depth: int = 50,
 ) -> DataFrame:
-    """Transitive closure over a (parent, child) hierarchy — iterative
-    self-join with a fixpoint check in the driver (ClosureGenerator.java
-    builds the whole closure in one in-memory map). Includes the 0-distance
-    self rows like the reference."""
+    """Transitive closure over a (parent, child) hierarchy by path doubling
+    (ClosureGenerator.java builds the whole closure in one in-memory map;
+    that caps at driver memory — this stays distributed). Includes the
+    0-distance self rows like the reference.
+
+    Scale design: path doubling needs only ceil(log2(max_depth)) self-join +
+    min-aggregate rounds instead of one join per level, so a depth-10^4 chain
+    is ~14 shuffles. Each round is eagerly materialized and the superseded
+    round unpersisted — cached footprint is O(|closure|), and the logical
+    plan stays polynomial (the naive union-per-level plan nests the previous
+    closure twice per level and OOMs the planner past ~15 levels)."""
     edges = df.select(
         F.col(parent_field).alias("p"), F.col(child_field).alias("c")
-    ).distinct().cache()
+    ).distinct()
     nodes = edges.select(F.col("p").alias("n")).union(edges.select("c")).distinct()
-    closure = nodes.select(
-        F.col("n").alias("p"), F.col("n").alias("c"), F.lit(0).alias("d")
-    ).union(edges.withColumn("d", F.lit(1)))
-    closure = closure.cache()
-    frontier = edges.withColumn("d", F.lit(1))
-    for _depth in range(2, max_depth + 1):
-        nxt = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.c") == F.col("e.p"))
-            .select(F.col("f.p").alias("p"), F.col("e.c").alias("c"), (F.col("f.d") + 1).alias("d"))
+    closure = (
+        nodes.select(F.col("n").alias("p"), F.col("n").alias("c"), F.lit(0).alias("d"))
+        .union(edges.withColumn("d", F.lit(1)))
+        .cache()
+    )
+    stats = closure.agg(F.count(F.lit(1)), F.sum("d")).collect()[0]
+    reach = 1
+    while reach < max_depth:
+        paths = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.c") == F.col("b.p"))
+            .select(
+                F.col("a.p").alias("p"), F.col("b.c").alias("c"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+            )
+            .filter(F.col("d") <= max_depth)
         )
-        nxt = nxt.join(closure.select("p", "c"), on=["p", "c"], how="left_anti").cache()
-        if nxt.isEmpty():
+        new_closure = (
+            closure.union(paths).groupBy("p", "c").agg(F.min("d").alias("d")).cache()
+        )
+        new_stats = new_closure.agg(F.count(F.lit(1)), F.sum("d")).collect()[0]
+        converged = tuple(new_stats) == tuple(stats)
+        closure.unpersist()
+        closure, stats = new_closure, new_stats
+        if converged:
             break
-        closure = closure.union(nxt).cache()
-        frontier = nxt
+        reach *= 2
     return closure.select(
         F.col("p").alias(parent_field),
         F.col("c").alias(child_field),
