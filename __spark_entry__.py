@@ -608,6 +608,48 @@ def _q_multimodal_features(spark, sf):
     )
 
 
+def _q_database_lookup(spark, sf):
+    """Database lookup (databaselookup/DatabaseLookup.java) against a
+    snapshotted lookup table: equi key + theta condition + default value."""
+    from pentaho_kettle_spark.sources.jdbc import database_lookup
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = _t(spark, sf, "part")
+    out = database_lookup(
+        li, part,
+        conditions=[("l_partkey", "=", "p_partkey"), ("l_quantity", "<", "p_size")],
+        return_fields=[("p_brand", "brand"), ("p_retailprice", "retail")],
+        defaults={"brand": "NONE"},
+        order_by="p_partkey",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "brand", _rnd("retail", 2).alias("retail")
+    )
+
+
+def _q_database_join(spark, sf):
+    """Database join (databasejoin/DatabaseJoin.java): the per-row
+    parameterized query decorrelated into a lateral join + per-key top-k."""
+    from pentaho_kettle_spark.sources.jdbc import database_join
+
+    o = _t(spark, sf, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = database_join(
+        o, li,
+        params=[("o_orderkey", "l_orderkey")],
+        order_by=[("l_extendedprice", True), ("l_linenumber", False)],
+        limit=2, outer=True,
+        select=["l_linenumber", "l_extendedprice"],
+    )
+    return out.select("o_orderkey", "l_linenumber", "l_extendedprice")
+
+
 def _q_calculator_ext(spark, sf):
     """Exercises 14 more Calculator functions than calculator_math/dates —
     arithmetic combos, min/max, remainder, hex round-trip, levenshtein,
@@ -736,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_streams": _q_append_streams,
         "regex_eval": _q_regex_eval,
         "calculator_ext": _q_calculator_ext,
+        "database_lookup": _q_database_lookup,
+        "database_join": _q_database_join,
         "cdc_merge_apply": _q_cdc_merge_apply,
         # hash-based queries with generated DuckDB oracles (portable md5 hash)
         "minhash_dedup": _q_minhash_dedup,
@@ -1082,6 +1126,22 @@ def oracle_sql() -> dict[str, str]:
                    -o_totalprice AS neg,
                    (o_orderkey % 100) * 1000 AS dd_msec
             FROM orders
+        """,
+        "database_lookup": """
+            SELECT l_orderkey, l_linenumber,
+                   coalesce(p_brand, 'NONE') AS brand,
+                   floor(p_retailprice*100 + 0.5)/100 AS retail
+            FROM lineitem LEFT JOIN part
+              ON l_partkey = p_partkey AND l_quantity < p_size
+        """,
+        "database_join": """
+            WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0),
+            j AS (
+              SELECT s.o_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY s.o_orderkey
+                                        ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+              FROM s LEFT JOIN lineitem ON o_orderkey = l_orderkey)
+            SELECT o_orderkey, l_linenumber, l_extendedprice FROM j WHERE rk <= 2
         """,
         "cdc_merge_apply": """
             WITH win AS (

@@ -607,6 +607,210 @@ def _b_text_output(spark, step, inputs):
     return df
 
 
+# ---------------- round-2 builders: high-frequency remainder ----------------
+
+
+def _b_row_generator(spark, step, inputs):
+    from pentaho_kettle_spark.sources.generators import row_generator
+
+    e = step.elem
+    consts = {}
+    rownum_field = None
+    for f in e.findall("fields/field"):
+        name, typ, val = _txt(f, "name"), _txt(f, "type", "String"), _txt(f, "nullif")
+        if _bool(f, "set_empty_string"):
+            consts[name] = ""
+        elif typ == "Integer":
+            consts[name] = int(val) if val else None
+        elif typ == "Number":
+            consts[name] = float(val) if val else None
+        else:
+            consts[name] = val
+    if _bool(e, "never_ending"):
+        raise NotImplementedError("streaming RowGenerator -> streaming/ rate source")
+    if _txt(e, "rownum_field"):
+        rownum_field = _txt(e, "rownum_field")
+    return row_generator(spark, int(_txt(e, "limit", "10")), consts, rownum_field)
+
+
+def _b_system_info(spark, step, inputs):
+    from pentaho_kettle_spark.sources.generators import get_system_data
+
+    fields = {
+        _txt(f, "name"): _txt(f, "type")
+        for f in step.elem.findall("fields/field")
+    }
+    base = get_system_data(spark, fields)
+    if inputs:  # appends system fields to each incoming row
+        return _single(inputs).crossJoin(base)
+    return base
+
+
+def _b_random_value(spark, step, inputs):
+    from pentaho_kettle_spark.sources.generators import random_value
+
+    e = step.elem
+    fields = {_txt(f, "name"): _txt(f, "type") for f in e.findall("fields/field")}
+    seed = int(_txt(e, "seed", "42") or 42)
+    df = _single(inputs) if inputs else spark.range(1).drop("id")
+    return random_value(df, fields, seed=seed)
+
+
+def _b_sample_rows(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    ranges = []
+    for part in (_txt(e, "linesrange", "1..100") or "").split(","):
+        part = part.strip()
+        if ".." in part:
+            lo, hi = part.split("..")
+            ranges.append((int(lo), int(hi)))
+        elif part:
+            ranges.append((int(part), int(part)))
+    order_by = [c.strip() for c in (_txt(e, "order_by") or "").split(",") if c.strip()]
+    if not order_by:
+        order_by = [df.columns[0]]
+    return ops.sample_rows(df, ranges, order_by)
+
+
+def _b_clone_row(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    n = int(_txt(e, "nrclones", "1") or 1)
+    num_field = _txt(e, "clonenumfield") if _bool(e, "addclonenum") else None
+    return ops.clone_row(df, n, clone_num_field=num_field)
+
+
+def _b_flattener(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    out_names = [_txt(f, "name") for f in e.findall("fields/field")]
+    group = [c.strip() for c in (_txt(e, "group_fields") or "").split(",") if c.strip()]
+    order_by = [c.strip() for c in (_txt(e, "order_by") or "").split(",") if c.strip()]
+    out = ops.flattener(
+        df, _txt(e, "field_name"), group, order_by or group, len(out_names),
+    )
+    # rename positional columns to the declared target names
+    prefix = _txt(e, "field_name")
+    for i, name in enumerate(out_names):
+        out = out.withColumnRenamed(f"{prefix}_{i + 1}", name)
+    return out
+
+
+def _b_validator(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    rules = []
+    for v in e.findall("validator_field"):
+        field = _txt(v, "name")
+        if _bool(v, "null_allowed", True) is False:
+            rules.append({"field": field, "kind": "not_null"})
+        if _txt(v, "min_value"):
+            rules.append({"field": field, "kind": "min", "value": float(_txt(v, "min_value"))})
+        if _txt(v, "max_value"):
+            rules.append({"field": field, "kind": "max", "value": float(_txt(v, "max_value"))})
+        if _txt(v, "regex_expected"):
+            rules.append({"field": field, "kind": "regex", "value": _txt(v, "regex_expected")})
+        vals = [x.text for x in v.findall("value")]
+        if vals:
+            rules.append({"field": field, "kind": "in_list", "value": vals})
+        if _txt(v, "max_length"):
+            rules.append({"field": field, "kind": "max_length", "value": int(_txt(v, "max_length"))})
+    valid, errors = ops.validator(df, rules)
+    error_to = _txt(e, "send_error_to")
+    if error_to:
+        ok_to = [t for t in (_txt(e, "send_valid_to") or "").split(",") if t]
+        out = {error_to: errors}
+        for t in ok_to:
+            out[t] = valid
+        return out
+    return valid
+
+
+def _b_regex_eval(spark, step, inputs):
+    df = _single(inputs)
+    e = step.elem
+    captures = [_txt(f, "name") for f in e.findall("fields/field")]
+    return ops.regex_eval(
+        df,
+        _txt(e, "matcher") or _txt(e, "fieldname"),
+        _txt(e, "script"),
+        result_field=_txt(e, "resultfieldname", "result") or "result",
+        capture_fields=captures if _bool(e, "allowcapturegroups") else None,
+    )
+
+
+def _b_append(spark, step, inputs):
+    e = step.elem
+    head_name, tail_name = _txt(e, "head_name"), _txt(e, "tail_name")
+    return ops.append_streams(
+        inputs[head_name], inputs[tail_name],
+        order_field=_txt(e, "order_field") or None,
+    )
+
+
+def _b_prioritize_streams(spark, step, inputs):
+    e = step.elem
+    order = [_txt(s, "name") for s in e.findall("steps/step")]
+    return ops.prioritize_streams([inputs[n] for n in order])
+
+
+def _b_sorted_merge(spark, step, inputs):
+    e = step.elem
+    keys = [_txt(f, "name") for f in e.findall("fields/field")]
+    return ops.sorted_merge(list(inputs.values()), keys)
+
+
+def _b_blocking(spark, step, inputs):
+    return ops.blocking_step(_single(inputs), pass_all=_bool(step.elem, "pass_all_rows", True))
+
+
+def _b_detect_empty(spark, step, inputs):
+    return ops.detect_empty_stream(_single(inputs))
+
+
+def _b_write_to_log(spark, step, inputs):
+    df = _single(inputs)
+    limit = int(_txt(step.elem, "limitRows", "0") or 0)
+    if limit:
+        for row in df.limit(limit).collect():
+            print(f"[writetolog:{step.name}] {row.asDict()}")
+    return df
+
+
+def _b_abort(spark, step, inputs):
+    df = _single(inputs)
+    threshold = int(_txt(step.elem, "row_threshold", "0") or 0)
+    n = df.count()
+    if n > threshold:
+        msg = _txt(step.elem, "message") or "aborted"
+        raise RuntimeError(f"Abort step '{step.name}': {n} rows > {threshold}: {msg}")
+    return df
+
+
+def _b_exec_sql(spark, step, inputs):
+    from pentaho_kettle_spark.operators.scripting import execute_sql
+
+    if inputs:
+        _single(inputs).createOrReplaceTempView(f"pks_in_{step.name}")
+    return execute_sql(spark, _txt(step.elem, "sql"))
+
+
+def _b_table_input(spark, step, inputs):
+    """TableInput: bind from `run_ktr(inputs=...)` (snapshot injection), else
+    build the JDBC read from the step's SQL — gated on a driver jar."""
+    from pentaho_kettle_spark.sources.jdbc import JdbcSpec, jdbc_input
+
+    e = step.elem
+    url = _txt(e, "connection_url")  # extension: full url in the step
+    if not url:
+        raise NotImplementedError(
+            f"TableInput '{step.name}' needs a pre-bound input "
+            "(run_ktr(inputs={name: df})) or a connection_url (JDBC jar required)"
+        )
+    return jdbc_input(spark, JdbcSpec(url=url, query=_txt(e, "sql")))
+
+
 BUILDERS = {
     "CSVInput": _b_csv_input,
     "CsvInput": _b_csv_input,
@@ -646,6 +850,24 @@ BUILDERS = {
     "SplitFieldToRows3": _b_split_field_to_rows,
     "ConcatFields": _b_concat_fields,
     "AnalyticQuery": _b_analytic_query,
+    # round-2 additions
+    "RowGenerator": _b_row_generator,
+    "SystemInfo": _b_system_info,
+    "RandomValue": _b_random_value,
+    "SampleRows": _b_sample_rows,
+    "CloneRow": _b_clone_row,
+    "Flattener": _b_flattener,
+    "Validator": _b_validator,
+    "RegexEval": _b_regex_eval,
+    "Append": _b_append,
+    "PrioritizeStreams": _b_prioritize_streams,
+    "SortedMerge": _b_sorted_merge,
+    "BlockingStep": _b_blocking,
+    "DetectEmptyStream": _b_detect_empty,
+    "WriteToLog": _b_write_to_log,
+    "Abort": _b_abort,
+    "ExecSQL": _b_exec_sql,
+    "TableInput": _b_table_input,
 }
 
 

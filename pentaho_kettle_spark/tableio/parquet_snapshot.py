@@ -129,6 +129,31 @@ class ParquetSnapshotTableIO:
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
+    def _process_lock(self):
+        """Advisory inter-process exclusive lock on the table root.
+
+        The threading.Lock only serializes committers in THIS driver; two
+        writer *processes* could both read snapshot N and last-rename-wins.
+        flock on `<root>/_commit.lock` extends the read-mutate-swap critical
+        section across processes on the same host/NFS-with-flock. (On object
+        stores this becomes the catalog's atomic swap, as in Iceberg.)
+        """
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lk():
+            fd = os.open(os.path.join(self.root, "_commit.lock"),
+                         os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _lk()
+
     # ---------- manifest plumbing ----------
 
     def _current_path(self) -> str:
@@ -161,7 +186,7 @@ class ParquetSnapshotTableIO:
         bookkeeping), stamp snapshot_id/parent, swap. Writers express their
         change against the latest state, so concurrent committers (ingest
         batch vs async compaction) compose instead of clobbering."""
-        with self._commit_lock:
+        with self._commit_lock, self._process_lock():
             m = self.current_manifest()
             m2 = mutate(m)
             m2["snapshot_id"] = m["snapshot_id"] + 1
@@ -664,20 +689,111 @@ class ParquetSnapshotTableIO:
         self._commit_mutation(_mutate)
         return sorted(target)
 
-    def expire_tombstones(self) -> None:
-        """Compaction: rewrite all buckets dropping tombstones (safe once the
-        out-of-order window has passed — a watermark decision in streaming)."""
+    def expire_tombstones(self, watermark=None) -> None:
+        """Housekeeping rewrite dropping tombstones.
+
+        `watermark` (a value comparable to lww_col, e.g. a timestamp) bounds
+        the out-of-order window: only tombstones with lww < watermark are
+        dropped — a late update older than a *retained* tombstone still
+        correctly loses, while fully-aged deletes stop paying storage. With
+        watermark=None every tombstone is dropped (only safe once the stream
+        is fully quiesced)."""
         df = self.read_full()
         m = self.current_manifest()
-        live = df.filter(~F.col(SYS_DELETED))
+        keep = ~F.col(SYS_DELETED)
+        if watermark is not None:
+            keep = keep | (F.col(self.lww_col) >= F.lit(watermark))
+        live = df.filter(keep)
         files = self._write_buckets(live, TableSchema(**m["schema"]).version)
 
         def _mutate(cur: dict) -> dict:
             out = dict(cur)
             out["files"] = files
+            out["lineage"] = [*cur["lineage"], {
+                "mode": "expire_tombstones",
+                "watermark": None if watermark is None else str(watermark),
+            }]
             return out
 
         self._commit_mutation(_mutate)
+
+    # ---------- time travel + snapshot/file maintenance ----------
+
+    def snapshot_ids(self) -> list[int]:
+        """Snapshot ids still on disk (the time-travelable window)."""
+        out = []
+        for fn in os.listdir(os.path.join(self.root, "snapshots")):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                out.append(int(fn[5:-5]))
+        return sorted(out)
+
+    def manifest_at(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.root, "snapshots", f"snap-{snapshot_id:06d}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"snapshot {snapshot_id} expired or never existed "
+                f"(retained: {self.snapshot_ids()})"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def read_at(self, snapshot_id: int) -> DataFrame | None:
+        """Time-travel read: the visible table as of a retained snapshot."""
+        m = self.manifest_at(snapshot_id)
+        schema = TableSchema(**m["schema"])
+        entries = [e for es in m["files"].values() for e in es]
+        df = self._read_files(entries, schema)
+        if df is None:
+            return self.spark.createDataFrame([], schema.to_struct())
+        if any(e.get("kind") == "delta" for e in entries):
+            df = self._collapse_rows(df, schema.names())
+        return df.filter(~F.col(SYS_DELETED)).select(*schema.names())
+
+    def expire_snapshots(self, keep_last: int = 5, grace_seconds: float = 3600.0) -> dict:
+        """Iceberg-style maintenance: drop snapshot manifests outside the
+        retained window, then garbage-collect data files no retained snapshot
+        references (covers both expired-snapshot files and orphans left by
+        crashed writers).
+
+        `grace_seconds` protects a concurrent writer that has written data
+        files but not yet committed: young unreferenced files are kept.
+        Driver-side metadata work is O(retained manifests + files on disk) —
+        the same complexity class as Iceberg's ExpireSnapshots action."""
+        import time as _time
+
+        with self._commit_lock, self._process_lock():
+            cur = self.current_manifest()
+            if cur is None:
+                return {"expired_snapshots": [], "deleted_files": 0}
+            ids = self.snapshot_ids()
+            floor_id = cur["snapshot_id"] - max(keep_last - 1, 0)
+            expired = [i for i in ids if i < floor_id]
+            retained = [i for i in ids if i >= floor_id]
+            referenced: set[str] = set()
+            for i in retained:
+                m = self.manifest_at(i)
+                for es in m["files"].values():
+                    referenced.update(e["path"] for e in es)
+            for i in expired:
+                os.remove(os.path.join(self.root, "snapshots", f"snap-{i:06d}.json"))
+            # orphan GC: unreferenced, old-enough data files
+            deleted = 0
+            now = _time.time()
+            data_root = os.path.join(self.root, "data")
+            for dirpath, _dn, fns in os.walk(data_root, topdown=False):
+                for fn in fns:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        if now - os.path.getmtime(full) >= grace_seconds:
+                            os.remove(full)
+                            deleted += 1
+                try:  # prune empty dirs left behind
+                    if not os.listdir(dirpath) and dirpath != data_root:
+                        os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {"expired_snapshots": expired, "deleted_files": deleted}
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,127 @@
+"""JDBC surface: option/pushdown construction is fully testable without a
+database; lookup/join semantics are tested against DataFrame stand-ins
+(exactly what a jdbc_input snapshot produces at runtime)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pentaho_kettle_spark.sources.jdbc import (
+    JdbcSpec,
+    database_join,
+    database_lookup,
+    jdbc_partition_predicates,
+    jdbc_read_options,
+    jdbc_write_options,
+)
+
+
+def test_read_options_pushdown():
+    spec = JdbcSpec(
+        url="jdbc:postgresql://db:5432/x",
+        table="public.orders",
+        columns=["o_id", "o_price"],
+        where="o_price > 100",
+        partition_column="o_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+        fetchsize=5000,
+        driver="org.postgresql.Driver",
+    )
+    opts = jdbc_read_options(spec)
+    assert opts["dbtable"] == (
+        "(SELECT o_id, o_price FROM public.orders WHERE o_price > 100) AS pks_sub"
+    )
+    assert opts["partitionColumn"] == "o_id"
+    assert opts["numPartitions"] == "32"
+    assert opts["fetchsize"] == "5000"
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_read_options_validation():
+    with pytest.raises(ValueError):
+        jdbc_read_options(JdbcSpec(url="u"))  # neither table nor query
+    with pytest.raises(ValueError):
+        jdbc_read_options(JdbcSpec(url="u", table="t", query="SELECT 1"))
+    with pytest.raises(ValueError):
+        jdbc_read_options(JdbcSpec(url="u", table="t", partition_column="c"))
+
+
+def test_partition_predicates_cover_domain():
+    preds = jdbc_partition_predicates("id", 0, 100, 4)
+    assert len(preds) == 4
+    assert preds[0].startswith("id < 25")
+    assert "id >= 25 AND id < 50" in preds[1]
+    assert preds[-1] == "id >= 75"  # unbounded tail catches stragglers
+    assert jdbc_partition_predicates("id", 0, 100, 1) == ["1=1"]
+
+
+def test_write_options():
+    opts = jdbc_write_options("jdbc:h2:mem", "t", batchsize=2000, truncate=True)
+    assert opts["batchsize"] == "2000"
+    assert opts["truncate"] == "true"
+
+
+def test_database_lookup_theta_and_defaults(spark):
+    stream = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 99), (1, 10)], ["k", "v"]  # note duplicate row
+    )
+    lookup = spark.createDataFrame(
+        [(1, 5, 15, "low"), (1, 16, 30, "mid"), (2, 20, 30, "mid2")],
+        ["k", "lo", "hi", "label"],
+    )
+    out = database_lookup(
+        stream, lookup,
+        conditions=[("k", "=", "k"), ("v", "BETWEEN", ("lo", "hi"))],
+        return_fields=[("label", "band")],
+        defaults={"band": "none"},
+        order_by="label",
+    )
+    rows = sorted((r.k, r.v, r.band) for r in out.collect())
+    assert rows == [(1, 10, "low"), (1, 10, "low"), (2, 25, "mid2"), (3, 99, "none")]
+
+
+def test_database_lookup_like_and_fail_on_multiple(spark):
+    stream = spark.createDataFrame([("apple",), ("banana",)], ["word"])
+    lookup = spark.createDataFrame(
+        [("a%", "starts-a"), ("%na", "ends-na")], ["pat", "tag"]
+    )
+    out = database_lookup(
+        stream, lookup,
+        conditions=[("word", "LIKE", "pat")],
+        return_fields=[("tag", "tag")],
+        order_by="tag",
+    )
+    got = {r.word: r.tag for r in out.collect()}
+    assert got == {"apple": "starts-a", "banana": "ends-na"}
+
+    multi = spark.createDataFrame([("anna",)], ["word"])  # matches both patterns
+    with pytest.raises(ValueError, match="multiple"):
+        database_lookup(
+            multi, lookup,
+            conditions=[("word", "LIKE", "pat")],
+            return_fields=[("tag", "tag")],
+            fail_on_multiple=True,
+        )
+
+
+def test_database_join_lateral_topk(spark):
+    orders = spark.createDataFrame([(1,), (2,), (3,)], ["oid"])
+    items = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 30.0), (1, 3, 20.0), (2, 1, 5.0)],
+        ["oid", "line", "price"],
+    )
+    out = database_join(
+        orders, items,
+        params=[("oid", "oid")],
+        order_by=[("price", True)],
+        limit=2, outer=True,
+        select=["line", "price"],
+    )
+    got = sorted((r.oid, r.line, r.price) for r in out.collect())
+    assert got == [
+        (1, 2, 30.0), (1, 3, 20.0),  # top-2 by price desc
+        (2, 1, 5.0),
+        (3, None, None),  # outer row kept
+    ]

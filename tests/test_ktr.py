@@ -74,3 +74,65 @@ def test_unsupported_step_raises(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="SalesforceInput"):
         run_ktr(spark, str(p))
+
+
+def test_run_ktr_generators_sweep(spark):
+    """RowGenerator → CloneRow → Validator (error hop) and
+    RowGenerator → RegexEval → SampleRows, from one .ktr."""
+    outs = run_ktr(spark, os.path.join(FIX, "sample_generators.ktr"))
+    assert set(outs) == {"OK", "Errs", "Sample"}
+    ok = outs["OK"].collect()
+    errs = outs["Errs"].collect()
+    # 6 generated rows cloned x2 = 12; rn=1 rows (x2) fail min_value=2
+    assert len(ok) == 10 and len(errs) == 2
+    assert {r.cnum for r in ok} == {0, 1}
+    assert all(r.rn == 1 for r in errs)
+    assert errs[0].error_field == "rn"
+    sample = outs["Sample"].collect()
+    assert sorted(r.rn for r in sample) == [1, 2, 5]  # ranges 1..2 and 5
+    assert all(r.matched and r.w1 == "alpha" and r.w2 == "beta" for r in sample)
+
+
+def test_run_ktr_streams_sweep(spark):
+    """Append → BlockingStep → WriteToLog → ExecSQL, plus SortedMerge,
+    PrioritizeStreams and DetectEmptyStream over two grids."""
+    outs = run_ktr(spark, os.path.join(FIX, "sample_streams.ktr"))
+    assert set(outs) == {"FinalSQL", "SM", "Prio", "Empty"}
+    final = [(r.k, r.v) for r in outs["FinalSQL"].collect()]
+    assert final == [(1, "a1"), (2, "b2"), (3, "a3")]
+    sm = [r.k for r in outs["SM"].toPandas().itertuples()]
+    assert sorted(sm) == [1, 2, 3, 4]
+    prio = outs["Prio"].collect()
+    assert len(prio) == 4
+    assert outs["Empty"].count() == 2  # non-empty stream passes through
+
+
+def test_run_ktr_abort(spark):
+    with pytest.raises(RuntimeError, match="too many rows"):
+        run_ktr(spark, os.path.join(FIX, "sample_abort.ktr"))
+
+
+def test_table_input_requires_binding(spark):
+    """TableInput without a pre-bound DataFrame or connection raises the
+    documented error (no JDBC driver in the sandbox)."""
+    import textwrap
+
+    p = os.path.join(FIX, "_tmp_tablein.ktr")
+    with open(p, "w") as f:
+        f.write(textwrap.dedent("""\
+            <?xml version="1.0"?>
+            <transformation>
+              <info><name>ti</name></info>
+              <step><name>T</name><type>TableInput</type><sql>SELECT 1</sql></step>
+              <order/>
+            </transformation>
+        """))
+    try:
+        with pytest.raises(NotImplementedError, match="pre-bound"):
+            run_ktr(spark, p)
+        # pre-binding replaces the step entirely
+        df = spark.createDataFrame([(1,)], ["x"])
+        outs = run_ktr(spark, p, inputs={"T": df})
+        assert outs["T"].collect()[0].x == 1
+    finally:
+        os.remove(p)
