@@ -572,6 +572,16 @@ def _q_lsh_ann(spark, sf):
     return out.select("query_id", "vec_id", _rnd("cosine", 5).alias("cosine"))
 
 
+def _q_embedding_near_dups(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    corpus = em.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    return fdedup.embedding_cosine_near_dups(
+        corpus, min_cosine=0.2, n_lsh_planes=6, dim=64
+    )
+
+
 def _q_text_quality(spark, sf):
     d = _t(spark, sf, "documents")
     return ftext.add_text_features(d, hash_fn=phash64).select(
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash_candidates,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_ann": _q_lsh_ann,
+        "embedding_near_dups": _q_embedding_near_dups,
         "text_quality": _q_text_quality,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1161,6 +1172,9 @@ def oracle_sql() -> dict[str, str]:
             id_filter="doc_id < 200",
         ),
         "lsh_ann": osql.lsh_ann_sql(k=5, n_planes=6, dim=64),
+        "embedding_near_dups": osql.embedding_near_dups_sql(
+            min_cosine=0.2, n_planes=6, dim=64
+        ),
         "text_quality": osql.text_quality_sql(),
         "multimodal_features": osql.multimodal_features_sql("doc_id < 100"),
     }

@@ -127,7 +127,21 @@ def main() -> None:
 
     spark = get_spark(app_name="pks-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
+    # 32MB scan splits: balanced task waves at any width (see bench/replay_job.py)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     qs = entrymod.queries()
+
+    def _minhash_scale(spark, sf):
+        # the bench measures the DEFAULT xxhash64 scale path; the driver's
+        # correctness gate runs the portable-md5 twin (same plan shape,
+        # slower hash) so DuckDB can recompute it
+        from pentaho_kettle_spark.functions import dedup as fdedup
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        kept = fdedup.minhash_lsh_keep(d, "text", "doc_id", num_hashes=32, bands=8)
+        return kept.select("doc_id", "n_chars")
+
+    qs = {**qs, "minhash_dedup": _minhash_scale}
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

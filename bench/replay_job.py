@@ -25,6 +25,11 @@ def main() -> None:
     mode = sys.argv[5] if len(sys.argv) > 5 else "mor"
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # smaller scan splits: the default 128MB leaves the changelog scan with
+    # ~1.4 ragged task waves at 8 cores (11 partitions / 8 slots); 32MB gives
+    # every width several balanced waves. A real cluster reading an object
+    # store does the same via input-split tuning.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
 
     from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA, read_changelog
     from pentaho_kettle_spark.cdc.replay import replay_changelog

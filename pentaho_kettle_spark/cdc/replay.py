@@ -110,11 +110,26 @@ def apply_batch(
     hot_keys: DataFrame | None = None,
 ) -> dict:
     """The per-micro-batch stage chain (shared by batch replay + streaming):
-    schema-evolve table → conform batch → LWW collapse → salted MERGE."""
+    schema-evolve table → conform batch → LWW collapse → salted MERGE.
+
+    MoR tables take the FUSED plan (`lww_collapse_bucketed`): the collapse
+    aggregate runs directly on the table's bucket partitioning, so the whole
+    batch is one exchange (two when salting is active) and `_write_buckets`
+    appends without re-staging. CoW keeps the key-partitioned collapse — its
+    merge join re-shuffles by key anyway.
+    """
     if batch_id in table.committed_batches():
         return {"skipped_duplicate_batch": batch_id}
     batch = evolve_and_conform(table, batch, rename_hints)
-    if salted:
+    if table.write_mode == "mor":
+        from pentaho_kettle_spark.cdc.lww import lww_collapse_bucketed
+
+        collapsed = lww_collapse_bucketed(
+            batch, key_cols=table.key_cols, lww_col=table.lww_col,
+            n_buckets=table.n_buckets, bucket_key=table.key_cols[0],
+            n_salts=n_salts if salted else 0, hot_keys=hot_keys,
+        )
+    elif salted:
         collapsed = lww_collapse_salted(
             batch, key_cols=table.key_cols, lww_col=table.lww_col,
             n_salts=n_salts, hot_keys=hot_keys,

@@ -244,25 +244,30 @@ def embedding_cosine_near_dups(
     id_col: str = "vec_id",
     min_cosine: float = 0.95,
     n_lsh_planes: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH bucketing + exact
     cosine verify inside buckets (see functions/similarity.py for the
-    plane construction)."""
+    plane construction). Pass `dim` to keep the plan fully lazy (otherwise a
+    one-row driver sniff reads it)."""
     from pentaho_kettle_spark.functions.similarity import (
         cosine_expr,
         hyperplane_bucket,
     )
 
     base = df.select(F.col(id_col), F.col(vec_col))
-    dim = len(base.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(base.select(vec_col).first()[0])
     bucketed = base.withColumn("_bkt", hyperplane_bucket(F.col(vec_col), dim, n_lsh_planes))
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     pairs = (
         a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+            # floor-form rounding (cross-engine stable, see oracle_sqlgen)
+            (F.floor(cos * 100000 + F.lit(0.5)) / 100000).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )

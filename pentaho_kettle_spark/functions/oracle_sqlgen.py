@@ -195,17 +195,23 @@ def text_quality_sql() -> str:
     """
 
 
+def _bucket_sql(vexpr: str, planes: list[list[float]]) -> str:
+    """Hyperplane sign-pattern bucket — the twin of
+    similarity.hyperplane_bucket with the same seeded plane literals."""
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n             + ".join(terms) + ")::BIGINT"
+
+
 def lsh_ann_sql(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
     planes = _planes(dim, n_planes)
 
     def bucket(vexpr: str) -> str:
-        terms = []
-        for i, p in enumerate(planes):
-            lits = ", ".join(repr(float(x)) for x in p)
-            terms.append(
-                f"(CASE WHEN list_dot_product({vexpr}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
-            )
-        return "(" + "\n             + ".join(terms) + ")::BIGINT"
+        return _bucket_sql(vexpr, planes)
 
     return f"""
         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -223,6 +229,24 @@ def lsh_ann_sql(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_raw DESC, vec_id) <= {k}
+    """
+
+
+def embedding_near_dups_sql(
+    min_cosine: float = 0.2, n_planes: int = 6, dim: int = 64
+) -> str:
+    planes = _planes(dim, n_planes)
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (SELECT vec_id, v, {_bucket_sql("v", planes)} AS bkt FROM c),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 floor(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) * 100000 + 0.5)
+                   / 100000 AS cosine
+          FROM cb a JOIN cb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {min_cosine}
     """
 
 

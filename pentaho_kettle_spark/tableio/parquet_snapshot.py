@@ -297,10 +297,14 @@ class ParquetSnapshotTableIO:
         writers (ingest batch + async compactor) both write before their
         commit order is decided, so predicting the snapshot id races."""
         outdir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
-        staged = (
-            df.withColumn("_bucket", bucket_expr(self.key_cols[0], self.n_buckets))
-            .repartition("_bucket")
-        )
+        if "_bucket" in df.columns:
+            # upstream already bucket-partitioned (lww_collapse_bucketed's
+            # fused single-exchange plan) — re-staging would add a shuffle
+            staged = df
+        else:
+            staged = df.withColumn(
+                "_bucket", bucket_expr(self.key_cols[0], self.n_buckets)
+            ).repartition("_bucket")
         staged.write.mode("overwrite").partitionBy("_bucket").parquet(outdir)
         import pyarrow.parquet as pq
 
@@ -573,7 +577,11 @@ class ParquetSnapshotTableIO:
         schema = TableSchema(**m["schema"])
         names = schema.names()
         types = {f["name"]: f["type"] for f in schema.fields}
+        keep_bucket = (
+            [F.col("_bucket")] if "_bucket" in changes.columns else []
+        )
         delta = changes.select(
+            *keep_bucket,
             *[F.col(n).cast(types[n]).alias(n) for n in names],
             F.col(SYS_SEQ).cast("long").alias(SYS_SEQ),
             (F.col("op") == F.lit("D")).alias(SYS_DELETED),
