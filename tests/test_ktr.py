@@ -136,3 +136,30 @@ def test_table_input_requires_binding(spark):
         assert outs["T"].collect()[0].x == 1
     finally:
         os.remove(p)
+
+
+def test_run_kjb_success_path(spark):
+    """START → TRANS → TRANS → SUCCESS with conditional hops."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job.kjb"))
+    assert res.success
+    assert res.executed == ["START", "rollup", "streams", "done"]
+    rollup = res.results["rollup"]["Sort output"].collect()
+    assert [(r.status_label, r.n) for r in rollup] == [("Fulfilled", 1), ("Pending", 2)]
+    assert res.results["streams"]["FinalSQL"].count() == 3
+
+
+def test_run_kjb_failure_routing(spark):
+    """A failing transformation routes the evaluation=N hop; cleanup runs,
+    then ABORT marks the job failed."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_fail.kjb"))
+    assert not res.success
+    assert res.executed == ["START", "guard", "cleanup", "bail"]
+    assert "never" not in res.executed
+    assert res.failed_entry == "bail"
+    assert "guard tripped" in res.error or "too many rows" in res.error
+    # the cleanup transformation really ran
+    assert res.results["cleanup"]["Join"].count() == 3
