@@ -660,6 +660,21 @@ def _q_database_join(spark, sf):
     return out.select("o_orderkey", "l_linenumber", "l_extendedprice")
 
 
+def _q_frame_sample(spark, sf):
+    """Video frame-sampling fan-out plan (multimodal pipeline): one row per
+    (video, frame_ts) via explode(sequence(...)) — the decode itself stays
+    the documented stub."""
+    from pentaho_kettle_spark.functions.multimodal import frame_sample_plan
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("n_chars").cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=200)
+
+
 def _q_calculator_ext(spark, sf):
     """Exercises 14 more Calculator functions than calculator_math/dates —
     arithmetic combos, min/max, remainder, hex round-trip, levenshtein,
@@ -799,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "text_quality": _q_text_quality,
         "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -1177,4 +1193,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality": osql.text_quality_sql(),
         "multimodal_features": osql.multimodal_features_sql("doc_id < 100"),
+        "frame_sample": """
+            SELECT doc_id::BIGINT AS media_id,
+                   unnest(generate_series(0, greatest(n_chars::INT - 1, 0), 200))::BIGINT
+                     AS frame_ts_ms
+            FROM documents WHERE doc_id < 300
+        """,
     }
