@@ -207,7 +207,17 @@ def main() -> None:
     build_zip(zip_path)
 
     pairs = [tuple(map(int, p.split(":"))) for p in args.pairs.split(",")]
+    # merge into an existing scaling.json so a single-pair rerun (e.g. to
+    # catch a calm host window for 2:8) keeps the other pair's results
+    prev_path = os.path.join(REPO, "BENCH", "scaling.json")
     results: dict = {"batches": args.batches, "pairs": {}, "host_membw_gbps": {}}
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        results["pairs"] = prev.get("pairs", {})
+        # keep prior controls for pairs not rerun; this run's pairs get
+        # fresh same-window controls below
+        results["_prev_ceiling"] = prev.get("spark_compute_ceiling_sec", {})
 
     for low, high in pairs:
         for procs in (low, high):
@@ -215,14 +225,14 @@ def main() -> None:
             if k not in results["host_membw_gbps"]:
                 results["host_membw_gbps"][k] = host_membw(procs)
 
-    results["spark_compute_ceiling_sec"] = {}
+    results["spark_compute_ceiling_sec"] = results.pop("_prev_ceiling", {})
     for low, high in pairs:
         for c in (low, high):
             k = str(c)
-            if k not in results["spark_compute_ceiling_sec"]:
-                results["spark_compute_ceiling_sec"][k] = spark_compute_ceiling(
-                    c, zip_path
-                )
+            # always re-measure this run's pair controls (same-window rule)
+            results["spark_compute_ceiling_sec"][k] = spark_compute_ceiling(
+                c, zip_path
+            )
 
     for low, high in pairs:
         small = low < 8
