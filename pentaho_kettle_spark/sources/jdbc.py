@@ -180,7 +180,11 @@ def _cond(stream_col: Column, op: str, a: Column | None, b: Column | None) -> Co
     if op == ">=":
         return stream_col >= a
     if op == "LIKE":
-        return stream_col.like("%")  # placeholder, replaced below
+        # LIKE needs the lookup-side column as the *pattern*; Column.like only
+        # takes a literal, so callers must build `s.x LIKE l.y` via F.expr
+        # (database_lookup does).  Raising here keeps any future direct caller
+        # from silently getting a match-everything predicate.
+        raise ValueError("LIKE is handled by the caller via F.expr, not _cond")
     if op == "BETWEEN":
         return (stream_col >= a) & (stream_col <= b)
     if op == "IS NULL":
@@ -212,11 +216,16 @@ def database_lookup(
 
     Plan shape: ONE left theta-join (broadcast when the snapshot is small —
     Catalyst/AQE decides) + a single min_by aggregate for the pick; never a
-    per-row query.
+    per-row query.  The aggregate groups on `_rid` ALONE (a slim long) — the
+    stream payload rides through as a first(struct(...)) value, so the
+    post-join shuffle never hashes/compares wide text keys.  Match detection
+    uses a synthetic `_m = 1` probe column, not NULL-ness of a data column,
+    so a matching lookup row holding NULL in the first return field still
+    counts as matched (no spurious default substitution).
     """
     defaults = defaults or {}
     src = stream.withColumn("_rid", F.monotonically_increasing_id())
-    s, l = src.alias("s"), lookup.alias("l")
+    s, l = src.alias("s"), lookup.withColumn("_m", F.lit(1)).alias("l")
     cond = F.lit(True)
     for sf, op, lf in conditions:
         op = op.upper()
@@ -237,22 +246,42 @@ def database_lookup(
 
     # one aggregate picks the winning match per stream row; _rid keeps
     # duplicate stream rows independent (Kettle processes rows one by one)
-    key = [F.col("s._rid"), *[F.col(f"s.{c}") for c in stream.columns]]
-    matched = F.col(f"l.{return_fields[0][0]}")
     ordk = F.col(f"l.{order_by or return_fields[0][0]}")
     pickfn = F.max_by if order_desc else F.min_by
+    # min_by/max_by drop rows whose ordering key is NULL — wrap in a struct so
+    # a matching row with a NULL order field is still pickable (non-null order
+    # values win; NULL-only matches survive)
+    ordk = (
+        F.struct(ordk.isNotNull().alias("nn"), ordk.alias("v"))
+        if order_desc
+        else F.struct(ordk.isNull().alias("n"), ordk.alias("v"))
+    )
     pick = pickfn(
         F.struct(*[F.col(f"l.{lf}").alias(out) for lf, out in return_fields]), ordk
     )
-    aggs = [pick.alias("_pick"), F.sum(matched.isNotNull().cast("long")).alias("_n")]
-    agg = joined.groupBy(*key).agg(*aggs)
-    if fail_on_multiple and not agg.filter(F.col("_n") > 1).isEmpty():
-        raise ValueError("database_lookup: stream row matched multiple lookup rows")
-    out_cols = [F.col(c) for c in stream.columns]
-    for lf, out in return_fields:
-        expr = F.col(f"_pick.{out}")
-        if out in defaults:
-            expr = F.coalesce(expr, F.lit(defaults[out]))
+    payload = F.first(
+        F.struct(*[F.col(f"s.{c}").alias(c) for c in stream.columns])
+    )  # identical across a _rid's joined copies — first() is deterministic here
+    aggs = [
+        payload.alias("_row"),
+        pick.alias("_pick"),
+        F.sum(F.col("l._m")).alias("_n"),
+    ]
+    agg = joined.groupBy(F.col("s._rid")).agg(*aggs)
+    out_cols = [F.col(f"_row.{c}").alias(c) for c in stream.columns]
+    for idx, (lf, out) in enumerate(return_fields):
+        expr = F.when(F.col("_n").isNull(), F.lit(defaults.get(out))).otherwise(
+            F.col(f"_pick.{out}")
+        )
+        if fail_on_multiple and idx == 0:
+            # deferred assertion: fused into the first output expression so it
+            # fires at action time (no extra eager job / double compute)
+            expr = F.when(
+                F.col("_n") > 1,
+                F.raise_error(
+                    F.lit("database_lookup: stream row matched multiple lookup rows")
+                ),
+            ).otherwise(expr)
         out_cols.append(expr.alias(out))
     return agg.select(*out_cols)
 

@@ -97,13 +97,15 @@ def test_database_lookup_like_and_fail_on_multiple(spark):
     assert got == {"apple": "starts-a", "banana": "ends-na"}
 
     multi = spark.createDataFrame([("anna",)], ["word"])  # matches both patterns
-    with pytest.raises(ValueError, match="multiple"):
+    # fail_on_multiple is a deferred assertion fused into the plan — it fires
+    # at action time (one job, no eager double compute), as a Spark error
+    with pytest.raises(Exception, match="multiple"):
         database_lookup(
             multi, lookup,
             conditions=[("word", "LIKE", "pat")],
             return_fields=[("tag", "tag")],
             fail_on_multiple=True,
-        )
+        ).collect()
 
 
 def test_database_join_lateral_topk(spark):
@@ -125,3 +127,52 @@ def test_database_join_lateral_topk(spark):
         (2, 1, 5.0),
         (3, None, None),  # outer row kept
     ]
+
+
+def test_cond_like_raises_directly():
+    # _cond must never silently return a match-everything predicate for LIKE
+    from pyspark.sql import functions as F
+    from pentaho_kettle_spark.sources.jdbc import _cond
+
+    with pytest.raises(ValueError, match="LIKE"):
+        _cond(F.col("x"), "LIKE", F.col("y"), None)
+
+
+def test_database_lookup_null_return_field_still_matched(spark):
+    # a lookup row that matches but holds NULL in the first return field must
+    # count as MATCHED: the default is NOT substituted (Kettle applies the
+    # default only when no lookup row matches at all)
+    stream = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    lookup = spark.createDataFrame(
+        [(1, None, "one"), (2, "b", "two")], "k int, v string, name string"
+    )
+    out = database_lookup(
+        stream, lookup,
+        conditions=[("k", "=", "k")],
+        return_fields=[("v", "v"), ("name", "name")],
+        defaults={"v": "DFLT", "name": "NONE"},
+    )
+    got = {r.k: (r.v, r.name) for r in out.collect()}
+    assert got == {
+        1: (None, "one"),      # matched, NULL data value preserved
+        2: ("b", "two"),
+        3: ("DFLT", "NONE"),   # truly unmatched -> defaults
+    }
+
+
+def test_database_lookup_groups_on_rid_only(spark):
+    # the pick aggregate must key on the slim _rid long, not the full stream
+    # payload (wide text keys in the post-join shuffle kill 100-TB runs)
+    stream = spark.createDataFrame([("x" * 100, 1)], ["wide_text", "k"])
+    lookup = spark.createDataFrame([(1, "a")], ["k", "v"])
+    out = database_lookup(
+        stream, lookup, conditions=[("k", "=", "k")], return_fields=[("v", "v")]
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    aggs = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert aggs, plan
+    # grouping key list (first bracket group) mentions _rid and not wide_text
+    head = aggs[0].split("],")[0]
+    assert "_rid" in head and "wide_text" not in head, head
