@@ -709,6 +709,47 @@ def _q_calculator_ext(spark, sf):
     )
 
 
+# published Philips CUJ-2000 / Commons Codec Double Metaphone test vectors —
+# the oracle pins these EXPECTED codes (independent of the engine's kernel)
+_DMETA_VECTORS = [
+    ("testing", "TSTN"), ("The", "0"), ("quick", "KK"), ("brown", "PRN"),
+    ("fox", "FKS"), ("jumped", "JMPT"), ("over", "AFR"), ("lazy", "LS"),
+    ("dogs", "TKS"), ("smith", "SM0"), ("schmidt", "XMT"), ("snider", "SNTR"),
+    ("school", "SKL"), ("philip", "FLP"), ("knight", "NT"), ("wright", "RT"),
+    ("ghost", "KST"), ("jose", "HS"), ("cabrillo", "KPRL"), ("Xavier", "SF"),
+    ("Zhang", "JNK"), ("dumb", "TM"), ("accident", "AKST"), ("Caesar", "SSR"),
+    ("Wasserman", "ASRM"), ("Vasserman", "FSRM"),
+]
+
+
+def _q_calculator_phonetic(spark, sf):
+    """DOUBLE_METAPHONE through ops.calculator, verified against the
+    published Philips/Commons-Codec vector table: customer keys index into
+    the vector words, the engine encodes them, and the DuckDB oracle joins
+    the same words to the PUBLISHED codes — so a kernel bug cannot
+    self-certify."""
+    words = [w for w, _ in _DMETA_VECTORS]
+    c = _t(spark, sf, "customer")
+    arr = F.array(*[F.lit(w) for w in words])
+    df = c.select(
+        (F.col("c_custkey") % len(words)).cast("int").alias("widx")
+    ).withColumn("word", F.element_at(arr, F.col("widx") + 1))
+    out = ops.calculator(df, [Calc("dmeta", "DOUBLE_METAPHONE", "word")])
+    return out.select("widx", "word", "dmeta").distinct()
+
+
+def _dmeta_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{w}', '{code}')" for i, (w, code) in enumerate(_DMETA_VECTORS)
+    )
+    n = len(_DMETA_VECTORS)
+    return f"""
+        WITH m(widx, word, dmeta) AS (VALUES {vals}),
+        w AS (SELECT DISTINCT CAST(c_custkey % {n} AS INT) AS widx FROM customer)
+        SELECT w.widx, m.word, m.dmeta FROM w JOIN m USING (widx)
+    """
+
+
 def _q_cdc_merge_apply(spark, sf):
     """END-TO-END tableio oracle row: derive a deterministic changelog from
     `events` (key = (user_id, event_type), seq = event_id, delete when
@@ -769,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
+        # --- new this round ---
+        "calculator_phonetic": _q_calculator_phonetic,
         # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -827,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "calculator_phonetic": _dmeta_oracle_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,

@@ -6,11 +6,11 @@ Every function is a Catalyst expression builder over up to three operand
 columns (A, B, C) — JVM-side, inside whole-stage codegen; zero Python in the
 hot path. Functions Kettle evaluates with java.util.Calendar (working days,
 ISO week) are expressed with Spark datetime functions. Phonetic and
-edit-distance codes with no Catalyst builtin (METAPHONE,
+edit-distance codes with no Catalyst builtin (METAPHONE, DOUBLE_METAPHONE,
 DAMERAU_LEVENSHTEIN, NEEDLEMAN_WUNSCH, JARO, CHECKSUM_ADLER32) run as
 Arrow-batched pandas_udfs over self-contained pure-python kernels in
-functions/strings_udf.py. Remaining documented gap: DOUBLE_METAPHONE
-(the ~500-line Philips 2000 variant; single METAPHONE is implemented).
+functions/strings_udf.py. DOUBLE_METAPHONE is the Philips-2000 variant
+(primary code, maxCodeLen=4 — what Kettle gets from Commons Codec).
 """
 
 from __future__ import annotations
@@ -120,6 +120,7 @@ CALC_FUNCTIONS: dict[str, object] = {
     "HEX_TO_BYTE_DECODE": lambda a, b, c: F.unhex(a),
     "CHECKSUM_ADLER32": lambda a, b, c: _udf1("adler32_udf", a),
     "METAPHONE": lambda a, b, c: _udf1("metaphone_udf", a),
+    "DOUBLE_METAPHONE": lambda a, b, c: _udf1("double_metaphone_udf", a),
     "DAMERAU_LEVENSHTEIN": lambda a, b, c: _udf2("damerau_levenshtein_udf", a, b),
     "NEEDLEMAN_WUNSCH": lambda a, b, c: _udf2("needleman_wunsch_udf", a, b),
 }

@@ -125,3 +125,43 @@ def test_closure_deep_chain_bounded_cache(spark):
     assert n_cached - cached_before <= 4, (
         f"cache leak: {n_cached - cached_before} new persistent RDDs"
     )
+
+
+def test_double_metaphone_vectors():
+    # published Double Metaphone vectors (Philips CUJ-2000 reference set, as
+    # shipped in Apache Commons Codec's test suite) — primary code, maxLen=4
+    from pentaho_kettle_spark.functions.strings_udf import _double_metaphone as dm
+
+    primary = {
+        "testing": "TSTN", "The": "0", "quick": "KK", "brown": "PRN",
+        "fox": "FKS", "jumped": "JMPT", "over": "AFR", "lazy": "LS",
+        "dogs": "TKS", "smith": "SM0", "schmidt": "XMT", "snider": "SNTR",
+        "school": "SKL", "philip": "FLP", "knight": "NT", "wright": "RT",
+        "ghost": "KST", "jose": "HS", "cabrillo": "KPRL", "Xavier": "SF",
+        "Zhang": "JNK", "dumb": "TM", "accident": "AKST", "Caesar": "SSR",
+        "Wasserman": "ASRM", "Vasserman": "FSRM",
+    }
+    for w, want in primary.items():
+        assert dm(w) == want, (w, dm(w), want)
+    # the alternate code diverges exactly where the algorithm is ambiguous
+    alternate = {
+        "smith": "XMT", "schmidt": "SMT", "snider": "XNTR",
+        "cabrillo": "KPR", "Wasserman": "FSRM",
+    }
+    for w, want in alternate.items():
+        assert dm(w, alternate=True) == want, (w, dm(w, alternate=True), want)
+    assert dm(None) is None
+    assert dm("") == ""
+    assert dm("   ") == ""
+
+
+def test_double_metaphone_via_calculator(spark):
+    from pentaho_kettle_spark import operators as ops
+    from pentaho_kettle_spark.operators.calculator import Calc
+
+    df = spark.createDataFrame(
+        [("smith",), ("schmidt",), ("jose",), (None,)], ["name"]
+    )
+    out = ops.calculator(df, [Calc("code", "DOUBLE_METAPHONE", "name")])
+    got = {r.name: r.code for r in out.collect()}
+    assert got == {"smith": "SM0", "schmidt": "XMT", "jose": "HS", None: None}
