@@ -709,6 +709,53 @@ def _q_calculator_ext(spark, sf):
     )
 
 
+_EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples")
+
+
+def _q_ktr_lineitem_rollup(spark, sf):
+    """Plan built BY THE .KTR LOADER, not the operator library directly:
+    examples/lineitem_rollup.ktr (TableInput → FilterRows → Calculator →
+    ValueMapper → GroupBy → SortRows) runs through plans/ktr.run_ktr with the
+    lineitem snapshot pre-bound — certifying that Kettle XML files, not just
+    Python calls, produce oracle-exact results."""
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    li = _t(spark, sf, "lineitem")
+    outs = run_ktr(
+        spark,
+        os.path.join(_EXAMPLES_DIR, "lineitem_rollup.ktr"),
+        inputs={"Lineitem": li},
+    )
+    return outs["Sorted"].select(
+        "flag_label",
+        "l_linestatus",
+        _rnd("sum_disc_price", 2).alias("sum_disc_price"),
+        _rnd("sum_qty", 2).alias("sum_qty"),
+        "n_items",
+    )
+
+
+def _q_ktr_mapping_fee(spark, sf):
+    """Mapping (sub-transformation) through the driver gate:
+    examples/orders_fee.ktr pre-binds the orders snapshot, renames fields
+    into examples/orders_fee_child.ktr along the <input> connectors, and the
+    child's PERCENT_3 fee comes back renamed o_fee — one Catalyst plan."""
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    o = _t(spark, sf, "orders")
+    outs = run_ktr(
+        spark,
+        os.path.join(_EXAMPLES_DIR, "orders_fee.ktr"),
+        inputs={"Orders": o},
+    )
+    return outs["Apply fee"].select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        _rnd("o_fee", 2).alias("o_fee"),
+    )
+
+
 # published Philips CUJ-2000 / Commons Codec Double Metaphone test vectors —
 # the oracle pins these EXPECTED codes (independent of the engine's kernel)
 _DMETA_VECTORS = [
@@ -812,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         # --- new this round ---
         "calculator_phonetic": _q_calculator_phonetic,
+        "ktr_lineitem_rollup": _q_ktr_lineitem_rollup,
+        "ktr_mapping_fee": _q_ktr_mapping_fee,
         # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -819,7 +868,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calculator_math": _q_calculator_math,
         "calculator_dates": _q_calculator_dates,
         "string_ops": _q_string_ops,
-        "split_to_rows": _q_split_to_rows,
         "concat_checksum": _q_concat_checksum,
         "merge_join": _q_merge_join,
         "multiway_join_agg": _q_multiway_join_agg,
@@ -865,12 +913,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "append_streams": _q_append_streams,
         "regex_eval": _q_regex_eval,
+        "split_to_rows": _q_split_to_rows,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "calculator_phonetic": _dmeta_oracle_sql(),
+        "ktr_lineitem_rollup": """
+            SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
+                                     WHEN 'R' THEN 'Returned'
+                                     WHEN 'N' THEN 'None'
+                                     ELSE 'Other' END AS flag_label,
+                   l_linestatus,
+                   floor(sum(l_extendedprice - l_extendedprice * l_discount)*100 + 0.5)/100 AS sum_disc_price,
+                   floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,
+                   count(l_orderkey) AS n_items
+            FROM lineitem
+            WHERE l_quantity >= 25.0
+            GROUP BY 1, 2
+        """,
+        "ktr_mapping_fee": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                   floor((o_totalprice + o_totalprice * 5.0 / 100)*100 + 0.5)/100 AS o_fee
+            FROM orders
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    floor(sum(l_quantity)*100 + 0.5)/100 AS sum_qty,

@@ -101,13 +101,18 @@ def run_kjb(
     if job.start is None:
         raise ValueError(f"job '{job.name}' has no START entry")
     res = JobResult(success=True)
-    current = job.start
-    prev_ok = True
-    steps = 0
-    while current is not None:
-        steps += 1
-        if steps > max_entries:
-            raise RuntimeError(f"job '{job.name}' exceeded {max_entries} entries (cycle?)")
+    state = {"steps": 0, "aborted": False}
+
+    def _exec(current: str) -> None:
+        """Run one entry, then EVERY matching outgoing hop, depth-first —
+        the reference Job engine executes all matching next entries serially
+        (Job.java execute(), nextJobEntries loop), so two success hops from
+        one entry both fire."""
+        state["steps"] += 1
+        if state["steps"] > max_entries:
+            raise RuntimeError(
+                f"job '{job.name}' exceeded {max_entries} entries (cycle?)"
+            )
         entry = job.entries.get(current)
         if entry is None:
             raise ValueError(f"hop points at unknown entry '{current}'")
@@ -126,31 +131,33 @@ def run_kjb(
                 res.error = f"{current}: {exc}"
         elif entry.type == "SUCCESS":
             res.success = True
-            return res
+            return
         elif entry.type == "ABORT":
             res.success = False
             res.failed_entry = current
             res.error = entry.elem.findtext("message") or "aborted"
-            return res
+            state["aborted"] = True
+            return
         else:
             raise NotImplementedError(
                 f"job entry '{current}' has unsupported type '{entry.type}' "
                 "(shell/mail/ftp entries are declared non-goals)"
             )
-        # pick the next hop: conditional hops match the entry outcome;
-        # unconditional hops always fire (reference: JobHopMeta evaluation)
-        nxt = None
-        for h in job.hops:
-            if h.frm != current:
-                continue
-            if h.unconditional or h.on_success == ok:
-                nxt = h.to
-                break
-        if nxt is None and not ok:
+        # conditional hops match the entry outcome; unconditional hops always
+        # fire (reference: JobHopMeta evaluation)
+        matched = [
+            h.to
+            for h in job.hops
+            if h.frm == current and (h.unconditional or h.on_success == ok)
+        ]
+        if not matched and not ok:
             res.success = False
             res.failed_entry = current
-            return res
-        prev_ok = ok
-        current = nxt
-    res.success = res.success and prev_ok
+            return
+        for target in matched:
+            if state["aborted"]:
+                return  # ABORT halts the whole job, not just its branch
+            _exec(target)
+
+    _exec(job.start)
     return res

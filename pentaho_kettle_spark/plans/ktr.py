@@ -43,6 +43,7 @@ class KtrStep:
     name: str
     type: str
     elem: ET.Element
+    dir: str = ""  # directory of the owning .ktr (for relative child paths)
 
 
 @dataclass
@@ -57,10 +58,13 @@ def parse_ktr(path: str) -> KtrTrans:
     if root.tag != "transformation":
         raise ValueError(f"{path}: not a .ktr transformation (root <{root.tag}>)")
     name = root.findtext("info/name", default=path)
+    import os
+
+    kdir = os.path.dirname(os.path.abspath(path))
     steps = {}
     for s in root.findall("step"):
         sname = s.findtext("name")
-        steps[sname] = KtrStep(sname, s.findtext("type"), s)
+        steps[sname] = KtrStep(sname, s.findtext("type"), s, kdir)
     hops = [
         (h.findtext("from"), h.findtext("to"))
         for h in root.findall("order/hop")
@@ -811,6 +815,77 @@ def _b_table_input(spark, step, inputs):
     return jdbc_input(spark, JdbcSpec(url=url, query=_txt(e, "sql")))
 
 
+def _b_mapping(spark, step, inputs):
+    """Mapping (sub-transformation) — mapping/MappingMeta.java + the
+    MappingIODefinition connector lists (SURVEY §2.7). The child .ktr is a
+    reusable stage: the parent's input rows are renamed parent→child along
+    the <input> connectors, pre-bound onto the child's MappingInput step,
+    the child graph is compiled in place (one Catalyst plan — there is no
+    materialization boundary at the mapping edge), and the child's
+    MappingOutput result is renamed child→parent along the <output>
+    connectors. Supported subset: one MappingInput + one MappingOutput,
+    child referenced by <filename> (absolute, or relative to the parent
+    file); repository references (<trans_name>/<directory_path>) raise."""
+    import os
+
+    e = step.elem
+    fname = _txt(e, "filename")
+    if not fname:
+        raise NotImplementedError(
+            f"Mapping '{step.name}': only file-based child transformations are "
+            "supported (<filename>); repository references are not"
+        )
+    path = fname if os.path.isabs(fname) else os.path.join(step.dir, fname)
+    child = parse_ktr(path)
+    mi = [s for s in child.steps.values() if s.type == "MappingInput"]
+    mo = [s for s in child.steps.values() if s.type == "MappingOutput"]
+    if len(mi) != 1 or len(mo) != 1:
+        raise NotImplementedError(
+            f"Mapping '{step.name}': child must have exactly one MappingInput "
+            f"and one MappingOutput (found {len(mi)}/{len(mo)})"
+        )
+    df = _single(inputs)
+    maps = e.find("mappings")
+    if maps is not None:
+        for conn in maps.findall("input/mapping/connectors/connector"):
+            df = df.withColumnRenamed(
+                conn.findtext("parent"), conn.findtext("child")
+            )
+    outs = run_ktr(spark, path, inputs={mi[0].name: df})
+    res = outs.get(mo[0].name)
+    if res is None:
+        raise ValueError(
+            f"Mapping '{step.name}': child MappingOutput "
+            f"'{mo[0].name}' must be a terminal step"
+        )
+    if maps is not None:
+        # Kettle reverts the input renames once rows leave the mapping,
+        # unless the input definition sets <rename_on_output>Y
+        for m in maps.findall("input/mapping"):
+            if (m.findtext("rename_on_output") or "N") == "Y":
+                continue
+            for conn in m.findall("connectors/connector"):
+                res = res.withColumnRenamed(
+                    conn.findtext("child"), conn.findtext("parent")
+                )
+        for conn in maps.findall("output/mapping/connectors/connector"):
+            res = res.withColumnRenamed(
+                conn.findtext("child"), conn.findtext("parent")
+            )
+    return res
+
+
+def _b_mapping_input(spark, step, inputs):
+    raise NotImplementedError(
+        f"MappingInput '{step.name}' only runs inside a parent Mapping step "
+        "(or pre-bind it via run_ktr(inputs={name: df}))"
+    )
+
+
+def _b_mapping_output(spark, step, inputs):
+    return _single(inputs)
+
+
 BUILDERS = {
     "CSVInput": _b_csv_input,
     "CsvInput": _b_csv_input,
@@ -868,6 +943,10 @@ BUILDERS = {
     "Abort": _b_abort,
     "ExecSQL": _b_exec_sql,
     "TableInput": _b_table_input,
+    # round-3 additions
+    "Mapping": _b_mapping,
+    "MappingInput": _b_mapping_input,
+    "MappingOutput": _b_mapping_output,
 }
 
 

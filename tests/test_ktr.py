@@ -163,3 +163,37 @@ def test_run_kjb_failure_routing(spark):
     assert "guard tripped" in res.error or "too many rows" in res.error
     # the cleanup transformation really ran
     assert res.results["cleanup"]["Join"].count() == 3
+
+
+def test_run_ktr_mapping_subtransformation(spark):
+    """Mapping step: parent rows flow through a reusable child .ktr
+    (MappingInput → Calculator → MappingOutput) with field renames on both
+    edges — and the composition is ONE Catalyst plan, no materialization."""
+    outs = run_ktr(spark, os.path.join(FIX, "parent_mapping.ktr"))
+    assert set(outs) == {"Apply fee mapping"}
+    out = outs["Apply fee mapping"]
+    rows = {r.order_id: r for r in out.collect()}
+    # child computes fee = amt + amt*rate/100 on renamed columns
+    assert rows[1].order_fee == 200.0 + 200.0 * 10.0 / 100
+    assert rows[2].order_fee == 50.0 + 50.0 * 20.0 / 100
+    # renames round-tripped: parent names visible, child names gone
+    assert "amount" in out.columns and "amt" not in out.columns
+    assert "order_fee" in out.columns and "fee" not in out.columns
+
+
+def test_mapping_input_standalone_raises(spark):
+    with pytest.raises(NotImplementedError, match="MappingInput"):
+        run_ktr(spark, os.path.join(FIX, "child_mapping.ktr"))
+
+
+def test_kjb_fanout_executes_all_matching_hops(spark):
+    """Two hops out of START: the reference Job engine runs BOTH next
+    entries (serial depth-first), not just the first match."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_fanout.kjb"))
+    assert res.success
+    assert "rollup" in res.executed and "join" in res.executed
+    assert set(res.results) == {"rollup", "join"}
+    rows = {r.k: r.label for r in res.results["join"]["Join"].collect()}
+    assert rows == {1: "one", 2: "two", 3: None}

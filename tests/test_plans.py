@@ -77,3 +77,4 @@ def test_topk_no_global_sort(spark):
     o = spark.read.parquet(f"{SF}/orders.parquet")
     out = ops.top_k(o, [("o_totalprice", False)], 10)
     assert "TakeOrderedAndProject" in plan_summary(out)["plan"]
+
