@@ -66,7 +66,13 @@ def _bench_cdc(spark) -> dict:
 
     cache = _cached_changelog(spark)
     log = read_changelog(spark, cache)
-    n_delivered = log.count()  # warms the file listing too
+    # row count from parquet footers (driver-side metadata, no Spark scan —
+    # the old log.count() here was an extra full-table action per bench run)
+    import pyarrow.dataset as _pads
+
+    n_delivered = sum(
+        f.count_rows() for f in _pads.dataset(cache, format="parquet").get_fragments()
+    )
     sch = T.StructType(
         [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("seq", "op", "ingest_ts")]
     )
@@ -88,7 +94,7 @@ def _bench_cdc(spark) -> dict:
             spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=None
         )
         table.init_empty(sch)
-        sched = CompactionScheduler(table, CompactionPolicy(max_delta_files=2),
+        sched = CompactionScheduler(table, CompactionPolicy(max_delta_files=2, max_buckets_per_cycle=8),
                                     interval_sec=1.0)
         t0 = time.time()
         sched.start()

@@ -216,14 +216,17 @@ def main() -> None:
             prev = json.load(f)
         results["pairs"] = prev.get("pairs", {})
         # keep prior controls for pairs not rerun; this run's pairs get
-        # fresh same-window controls below
+        # fresh same-window controls below (a single-pair rerun must not
+        # drop the OTHER pair's memory-bandwidth controls or batch count)
         results["_prev_ceiling"] = prev.get("spark_compute_ceiling_sec", {})
+        results["host_membw_gbps"] = prev.get("host_membw_gbps", {})
+        results["batches"] = prev.get("batches", args.batches)
 
     for low, high in pairs:
         for procs in (low, high):
-            k = str(procs)
-            if k not in results["host_membw_gbps"]:
-                results["host_membw_gbps"][k] = host_membw(procs)
+            # always re-measure this run's pair cores (same-window rule);
+            # cores only present in kept pairs retain their prior values
+            results["host_membw_gbps"][str(procs)] = host_membw(procs)
 
     results["spark_compute_ceiling_sec"] = results.pop("_prev_ceiling", {})
     for low, high in pairs:

@@ -34,26 +34,41 @@ from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
 @dataclass
 class CompactionPolicy:
-    """A bucket is due when EITHER bound is exceeded (None disables one)."""
+    """A bucket is due when EITHER bound is exceeded (None disables one).
+
+    `max_buckets_per_cycle` caps how many buckets one cycle folds, most-
+    urgent first (by delta-file count, then delta rows). Without a cap,
+    uniformly-loaded tables make ALL buckets come due in the same cycle —
+    one giant fold job that lands on top of an ingest batch and doubles its
+    latency (the p99 spike a 100-TB ingest can't afford). With a cap, fold
+    work spreads across cycles at the same total throughput; the overdue
+    tail is bounded because each cycle retires the worst offenders first."""
 
     max_delta_files: int | None = 8
     max_delta_row_share: float | None = None  # delta rows / total rows in bucket
+    max_buckets_per_cycle: int | None = None
 
     def buckets_due(self, manifest: dict) -> list[int]:
-        due = []
+        due: list[tuple[int, int, int]] = []  # (n_deltas, delta_rows, bucket)
         for b, entries in manifest.get("files", {}).items():
             deltas = [e for e in entries if e.get("kind") == "delta"]
             if not deltas:
                 continue
-            if self.max_delta_files is not None and len(deltas) > self.max_delta_files:
-                due.append(int(b))
-                continue
-            if self.max_delta_row_share is not None:
+            urgent = (
+                self.max_delta_files is not None
+                and len(deltas) > self.max_delta_files
+            )
+            if not urgent and self.max_delta_row_share is not None:
                 total = sum(e["rows"] for e in entries) or 1
                 share = sum(e["rows"] for e in deltas) / total
-                if share > self.max_delta_row_share:
-                    due.append(int(b))
-        return sorted(due)
+                urgent = share > self.max_delta_row_share
+            if urgent:
+                due.append((len(deltas), sum(e["rows"] for e in deltas), int(b)))
+        due.sort(reverse=True)  # most deltas / most delta rows first
+        picked = [b for _, _, b in due]
+        if self.max_buckets_per_cycle is not None:
+            picked = picked[: self.max_buckets_per_cycle]
+        return sorted(picked)
 
 
 def run_compaction_cycle(

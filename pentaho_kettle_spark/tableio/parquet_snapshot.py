@@ -302,9 +302,13 @@ class ParquetSnapshotTableIO:
             # fused single-exchange plan) — re-staging would add a shuffle
             staged = df
         else:
+            # pin the exchange to n_buckets partitions (not shuffle.partitions
+            # + AQE coalesce): the write stage's layout is FIXED — one task
+            # per bucket hash slot, one file per bucket per batch — so runtime
+            # re-planning only removes write parallelism here
             staged = df.withColumn(
                 "_bucket", bucket_expr(self.key_cols[0], self.n_buckets)
-            ).repartition("_bucket")
+            ).repartition(self.n_buckets, "_bucket")
         staged.write.mode("overwrite").partitionBy("_bucket").parquet(outdir)
         import pyarrow.parquet as pq
 

@@ -121,3 +121,21 @@ def test_duplicate_batch_skipped_under_mutation_commit(spark, tmp_path):
     recs = replay_changelog(spark, table, log, n_batches=3, run_id="dup")
     assert all("skipped_duplicate_batch" in r for r in recs)
     assert table.snapshot_id() == sid
+
+
+def test_policy_per_cycle_cap_most_urgent_first():
+    from pentaho_kettle_spark.tableio.compaction import CompactionPolicy
+
+    manifest = {
+        "files": {
+            "0": [{"kind": "delta", "rows": 10}] * 3,
+            "1": [{"kind": "delta", "rows": 10}] * 7,
+            "2": [{"kind": "delta", "rows": 10}] * 5,
+            "3": [{"kind": "base", "rows": 100}],
+        }
+    }
+    p = CompactionPolicy(max_delta_files=2, max_buckets_per_cycle=2)
+    # buckets 1 (7 deltas) and 2 (5 deltas) are the most urgent
+    assert p.buckets_due(manifest) == [1, 2]
+    # uncapped: every bucket over the bound, in bucket order
+    assert CompactionPolicy(max_delta_files=2).buckets_due(manifest) == [0, 1, 2]
