@@ -94,7 +94,7 @@ def _bench_cdc(spark) -> dict:
             spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=None
         )
         table.init_empty(sch)
-        sched = CompactionScheduler(table, CompactionPolicy(max_delta_files=2, max_buckets_per_cycle=8),
+        sched = CompactionScheduler(table, CompactionPolicy(max_delta_files=2),
                                     interval_sec=1.0)
         t0 = time.time()
         sched.start()
@@ -152,8 +152,16 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    fair_xml = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench", "fairscheduler.xml"
+    )
     spark = get_spark(app_name="pks-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+                      shuffle_partitions=int(CPUS),
+                      extra_conf={
+                          # async compaction folds yield slots to ingest
+                          "spark.scheduler.mode": "FAIR",
+                          "spark.scheduler.allocation.file": fair_xml,
+                      })
     # 32MB scan splits: balanced task waves at any width (see bench/replay_job.py)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     qs = entrymod.queries()

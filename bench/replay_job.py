@@ -78,7 +78,7 @@ def main() -> None:
     )
     table.init_empty(data_schema)
     sched = CompactionScheduler(
-        table, CompactionPolicy(max_delta_files=4, max_buckets_per_cycle=8), interval_sec=1.0
+        table, CompactionPolicy(max_delta_files=4), interval_sec=1.0
     )
     t0 = time.time()
     sched.start()

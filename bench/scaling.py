@@ -91,6 +91,10 @@ def run_once(cores: int, log_dir: str, batches: int, zip_path: str, tag: str) ->
         "--conf", f"spark.driver.extraJavaOptions=-Xms{heap}g -XX:+AlwaysPreTouch",
         "--conf", f"spark.sql.shuffle.partitions={cores}",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # FAIR pools: async compaction folds yield slots to ingest batches
+        # (CompactionScheduler tags its thread pks_compaction, weight 1:8)
+        "--conf", "spark.scheduler.mode=FAIR",
+        "--conf", f"spark.scheduler.allocation.file={os.path.join(REPO, 'bench', 'fairscheduler.xml')}",
         # shuffle/spill files on tmpfs: the sandbox virtio disk stalls for
         # tens of seconds under writeback; cluster shuffle dirs are local SSD
         "--conf", "spark.local.dir=/dev/shm/pks_spark_local",

@@ -83,12 +83,17 @@ def switch_case(
     same scan (Catalyst reuses the exchange under AQE); at write time prefer
     partitionBy on a tag column instead of N jobs."""
     c = F.col(field)
-    outs: dict[str, DataFrame] = {}
+    # several case values may route to the SAME target (Kettle allows it) —
+    # group conditions per target and OR them, never overwrite
+    per_target: dict[str, object] = {}
     matched = None
     for value, name in cases.items():
         cond = c.contains(value) if contains else (c == F.lit(value))
-        outs[name] = df.filter(cond)
+        per_target[name] = cond if name not in per_target else (per_target[name] | cond)
         matched = cond if matched is None else (matched | cond)
+    outs: dict[str, DataFrame] = {
+        name: df.filter(cond) for name, cond in per_target.items()
+    }
     outs["default"] = df.filter(~F.coalesce(matched, F.lit(False)))
     return outs
 

@@ -875,6 +875,80 @@ def _b_mapping(spark, step, inputs):
     return res
 
 
+def _b_delay(spark, step, inputs):
+    """Delay — delay/Delay.java holds each row for N time units: a rate
+    limiter for the reference's push-based row engine. A batch DataFrame
+    plan has no per-row stream to throttle, and the step's declared data
+    semantics (rows unchanged, order preserved) make it an identity here.
+    Streaming rate limiting belongs to the SOURCE options instead
+    (maxFilesPerTrigger / maxOffsetsPerTrigger in streaming/ingest.py)."""
+    return _single(inputs)
+
+
+def _b_metainject(spark, step, inputs):
+    """MetaInject — metainject/MetaInject.java: rows from the incoming
+    config streams rewrite a template .ktr's step settings, then the
+    template runs (SURVEY §2.7). Target keys are XML paths under the target
+    step (see plans/metainject.py for why, vs the reference's per-step
+    injection-key registry). A `<list>Y</list>` flag on a mapping marks a
+    repeating-group injection ("fields/field/name"): list mappings sharing
+    a target container zip one element per config row."""
+    import os
+
+    from pentaho_kettle_spark.plans import metainject as mi
+
+    e = step.elem
+    fname = _txt(e, "filename")
+    if not fname:
+        raise NotImplementedError(
+            f"MetaInject '{step.name}': template must come from <filename>"
+        )
+    path = fname if os.path.isabs(fname) else os.path.join(step.dir, fname)
+
+    rows_cache: dict[str, list[dict]] = {}
+
+    def rows_of(src: str) -> list[dict]:
+        if src not in rows_cache:
+            if src not in inputs:
+                raise ValueError(
+                    f"MetaInject '{step.name}': source step {src!r} is not "
+                    "an incoming hop"
+                )
+            rows_cache[src] = mi.collect_rows(inputs[src])
+        return rows_cache[src]
+
+    injections: list = []
+    lists: dict[tuple[str, str, str], list[tuple[str, str]]] = {}
+    for m in e.findall("mappings/mapping"):
+        tgt = m.findtext("target_step_name")
+        key = m.findtext("target_attribute_key")
+        src = m.findtext("source_step")
+        fld = m.findtext("source_field")
+        if (m.findtext("list") or "N") == "Y":
+            container, _, leaf = key.rpartition("/")
+            lists.setdefault((tgt, container, src), []).append((leaf, fld))
+        else:
+            rs = rows_of(src)
+            injections.append(
+                mi.InjectValue(tgt, key, rs[0][fld] if rs else None)
+            )
+    for (tgt, container, src), leaf_fields in lists.items():
+        injections.append(
+            mi.InjectRows(
+                tgt,
+                container,
+                [{lf: r[f] for lf, f in leaf_fields} for r in rows_of(src)],
+            )
+        )
+    outs = mi.run_metainject(spark, path, injections)
+    if len(outs) != 1:
+        raise NotImplementedError(
+            f"MetaInject '{step.name}': template must have exactly one "
+            f"terminal step (got {sorted(outs)})"
+        )
+    return next(iter(outs.values()))
+
+
 def _b_mapping_input(spark, step, inputs):
     raise NotImplementedError(
         f"MappingInput '{step.name}' only runs inside a parent Mapping step "
@@ -947,6 +1021,8 @@ BUILDERS = {
     "Mapping": _b_mapping,
     "MappingInput": _b_mapping_input,
     "MappingOutput": _b_mapping_output,
+    "MetaInject": _b_metainject,
+    "Delay": _b_delay,
 }
 
 

@@ -116,6 +116,16 @@ class CompactionScheduler:
         return self
 
     def _loop(self) -> None:
+        # when the session runs spark.scheduler.mode=FAIR, fold jobs land in
+        # a dedicated low-weight pool so ingest batches keep their slots
+        # (task-level yielding beats capping the fold size: capped folds get
+        # re-folded as deltas keep arriving, inflating total rewrite work)
+        try:
+            self.table.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "pks_compaction"
+            )
+        except Exception:  # noqa: BLE001 - inert under FIFO / stopped session
+            pass
         while not self._stop.wait(self.interval_sec):
             try:
                 done = run_compaction_cycle(self.table, self.policy)

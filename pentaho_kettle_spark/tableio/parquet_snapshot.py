@@ -800,8 +800,16 @@ class ParquetSnapshotTableIO:
                         if now - os.path.getmtime(full) >= grace_seconds:
                             os.remove(full)
                             deleted += 1
-                try:  # prune empty dirs left behind
-                    if not os.listdir(dirpath) and dirpath != data_root:
+                try:  # prune empty dirs left behind; the grace period
+                    # applies to DIRECTORIES too — a concurrent writer's
+                    # staging dir (data/w-<uuid>) is empty until its first
+                    # task commits a file, and rmdir-ing it mid-write fails
+                    # the whole ingest batch
+                    if (
+                        not os.listdir(dirpath)
+                        and dirpath != data_root
+                        and now - os.path.getmtime(dirpath) >= grace_seconds
+                    ):
                         os.rmdir(dirpath)
                 except OSError:
                     pass

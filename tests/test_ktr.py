@@ -197,3 +197,46 @@ def test_kjb_fanout_executes_all_matching_hops(spark):
     assert set(res.results) == {"rollup", "join"}
     rows = {r.k: r.label for r in res.results["join"]["Join"].collect()}
     assert rows == {1: "one", 2: "two", 3: None}
+
+
+def test_metainject_pure_xml_rewrite():
+    """inject() alone (no Spark): scalar path creation + repeating-group
+    replacement on a template file."""
+    import xml.etree.ElementTree as ET
+
+    from pentaho_kettle_spark.plans.metainject import (
+        InjectRows,
+        InjectValue,
+        inject,
+    )
+
+    out = inject(
+        os.path.join(FIX, "template_inject.ktr"),
+        [
+            InjectValue("Filt", "compare/condition/value/text", 15),
+            InjectRows(
+                "Map", "fields/field",
+                [{"source_value": "a", "target_value": "alpha"},
+                 {"source_value": "b", "target_value": "beta"}],
+            ),
+        ],
+    )
+    try:
+        root = ET.parse(out).getroot()
+        steps = {s.findtext("name"): s for s in root.findall("step")}
+        assert steps["Filt"].findtext("compare/condition/value/text") == "15"
+        fields = steps["Map"].findall("fields/field")
+        assert [(f.findtext("source_value"), f.findtext("target_value"))
+                for f in fields] == [("a", "alpha"), ("b", "beta")]
+    finally:
+        os.unlink(out)
+
+
+def test_metainject_step_runs_template(spark):
+    """MetaInject step: config grids rewrite the template's ValueMapper
+    fields and FilterRows threshold, then the template runs."""
+    outs = run_ktr(spark, os.path.join(FIX, "meta_parent.ktr"))
+    assert set(outs) == {"Inject"}
+    rows = {r.k: r.label for r in outs["Inject"].collect()}
+    # threshold 15 keeps k=20,30; mapper labels b->beta, c->Other
+    assert rows == {20: "beta", 30: "Other"}

@@ -143,3 +143,68 @@ def test_cross_process_commit_lock(tmp_path):
     m = t.current_manifest()
     assert m["snapshot_id"] == 2 * n
     assert len(m["lineage"]) == 2 * n  # no lost updates
+
+
+def test_expiry_during_active_ingest_with_async_compactor(spark, tmp_path):
+    """Three contenders on the commit lock at once — ingest batches,
+    the async CompactionScheduler, and repeated expire_snapshots — must
+    lose no commits: the final state equals a single global collapse, and
+    read_at() works for every retained snapshot."""
+    import threading
+
+    from pentaho_kettle_spark.tableio.compaction import (
+        CompactionPolicy,
+        CompactionScheduler,
+    )
+
+    root = str(tmp_path / "t_stress")
+    t = _mk(spark, root, write_mode="mor", compact_delta_files=None)
+
+    stop = threading.Event()
+    expiry_errors: list[BaseException] = []
+    expired_counts: list[int] = []
+
+    def _expiry_loop():
+        try:
+            while not stop.wait(0.05):
+                r = t.expire_snapshots(keep_last=3, grace_seconds=3600.0)
+                expired_counts.append(len(r["expired_snapshots"]))
+        except BaseException as exc:  # noqa: BLE001
+            expiry_errors.append(exc)
+
+    exp_thread = threading.Thread(target=_expiry_loop, daemon=True)
+    sched = CompactionScheduler(
+        t, CompactionPolicy(max_delta_files=1), interval_sec=0.05
+    )
+    n_batches, keys = 8, 12
+    expected: dict[str, tuple] = {}
+    sched.start()
+    exp_thread.start()
+    try:
+        for b in range(n_batches):
+            rows = []
+            for k in range(keys):
+                key = f"k{k}"
+                seq = b * keys + k
+                op = "D" if (b == n_batches - 1 and k % 5 == 0) else "U"
+                rows.append((key, float(seq), 1000 + seq, seq, op))
+                if op == "D":
+                    expected.pop(key, None)
+                else:
+                    expected[key] = (float(seq), 1000 + seq)
+            t.merge_apply(_changes(spark, rows), batch_id=f"stress-{b}")
+    finally:
+        stop.set()
+        exp_thread.join(timeout=60)
+        sched.stop(final_cycle=True)
+    assert not expiry_errors, expiry_errors
+    assert sum(expired_counts) > 0  # expiry really ran during ingest
+
+    got = {r.k: (r.v, r.ts) for r in t.read().collect()}
+    assert got == expected  # no lost commits, no resurrected deletes
+
+    # every retained snapshot is still readable (expired ones are gone)
+    for sid in t.snapshot_ids():
+        df = t.read_at(sid)
+        assert df is not None
+        df.count()  # materializes: all referenced files must exist

@@ -145,3 +145,17 @@ def test_select_values_meta_cast(spark):
     out = ops.select_values(df, meta=[{"name": "s", "type": "Integer", "rename": "n"}])
     assert out.schema["n"].dataType.simpleString() == "bigint"
     assert out.collect()[0].n == 12
+
+
+def test_switch_case_multiple_values_same_target(spark):
+    """Kettle allows several case values to route to ONE target step —
+    conditions must OR together, not overwrite."""
+    df = spark.createDataFrame(
+        [("P",), ("F",), ("O",), ("X",)], ["status"]
+    )
+    outs = ops.switch_case(
+        df, "status", {"P": "open_like", "O": "open_like", "F": "closed"}
+    )
+    assert sorted(r.status for r in outs["open_like"].collect()) == ["O", "P"]
+    assert [r.status for r in outs["closed"].collect()] == ["F"]
+    assert [r.status for r in outs["default"].collect()] == ["X"]
