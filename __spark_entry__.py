@@ -506,7 +506,13 @@ def _q_insert_update_delete(spark, sf):
         .otherwise(F.col("o_totalprice")),
     )
     deletes = o.filter(F.col("o_orderkey") % 13 == 0)
-    out = ops.insert_update(base, upserts, ["o_orderkey"])
+    # standalone Update (update/Update.java): keys absent from the target
+    # are DISCARDED, not inserted — %10==9 rows here are not in `base`
+    updates = o.filter(F.col("o_orderkey") % 10 >= 8).withColumn(
+        "o_totalprice", _rnd(F.col("o_totalprice") * 0.9, 2)
+    )
+    out = ops.update_rows(base, updates, ["o_orderkey"])
+    out = ops.insert_update(out, upserts, ["o_orderkey"])
     out = ops.delete_rows(out, deletes, ["o_orderkey"])
     return out.select("o_orderkey", "o_totalprice")
 
@@ -1227,7 +1233,13 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts DESC, event_id DESC) = 1
         """,
         "insert_update_delete": """
-            WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 8),
+            WITH base0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 8),
+                 updates AS (SELECT o_orderkey, floor(o_totalprice * 0.9*100 + 0.5)/100 AS o_totalprice
+                             FROM orders WHERE o_orderkey % 10 >= 8),
+                 base AS (
+                   SELECT * FROM base0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+                   UNION ALL
+                   SELECT u.* FROM updates u WHERE u.o_orderkey IN (SELECT o_orderkey FROM base0)),
                  ups AS (SELECT o_orderkey,
                                 CASE WHEN o_orderkey % 7 = 0 THEN floor(o_totalprice * 1.1*100 + 0.5)/100
                                      ELSE o_totalprice END AS o_totalprice

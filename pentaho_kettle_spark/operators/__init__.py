@@ -16,6 +16,7 @@ from pentaho_kettle_spark.operators.dimensions import (  # noqa: F401
     combination_lookup,
     delete_rows,
     insert_update,
+    update_rows,
     scd1_apply,
     scd2_apply,
 )

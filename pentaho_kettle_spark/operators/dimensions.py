@@ -146,3 +146,16 @@ def insert_update(
 def delete_rows(target: DataFrame, keys_df: DataFrame, keys: list[str]) -> DataFrame:
     """delete/Delete.java: anti-join on keys."""
     return target.join(keys_df.select(*keys), on=keys, how="left_anti")
+
+
+def update_rows(
+    target: DataFrame, incoming: DataFrame, keys: list[str]
+) -> DataFrame:
+    """update/Update.java — the standalone Update step: existing keys get
+    the incoming values, keys ABSENT from the target are DISCARDED (unlike
+    insert_update, which inserts them). One semi-join restricts incoming to
+    known keys, one anti-join drops the replaced rows; both shuffle only on
+    the key columns."""
+    applied = incoming.join(target.select(*keys), on=keys, how="left_semi")
+    kept = target.join(incoming.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(applied.select(target.columns))

@@ -159,3 +159,12 @@ def test_switch_case_multiple_values_same_target(spark):
     assert sorted(r.status for r in outs["open_like"].collect()) == ["O", "P"]
     assert [r.status for r in outs["closed"].collect()] == ["F"]
     assert [r.status for r in outs["default"].collect()] == ["X"]
+
+
+def test_update_rows_discards_unknown_keys(spark):
+    """Standalone Update (update/Update.java): existing keys take the
+    incoming value; keys absent from the target are DISCARDED."""
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    incoming = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
+    out = ops.update_rows(target, incoming, ["k"])
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "B")}
