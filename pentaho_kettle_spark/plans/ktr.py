@@ -630,10 +630,24 @@ def _b_row_generator(spark, step, inputs):
             consts[name] = float(val) if val else None
         else:
             consts[name] = val
-    if _bool(e, "never_ending"):
-        raise NotImplementedError("streaming RowGenerator -> streaming/ rate source")
     if _txt(e, "rownum_field"):
         rownum_field = _txt(e, "rownum_field")
+    if _bool(e, "never_ending"):
+        # Kettle's never-ending generator emits the constant row every
+        # <interval_in_ms>; the Structured Streaming twin is the rate
+        # source at the equivalent rows/sec. Downstream row-shaping steps
+        # compose lazily; the caller sinks via writeStream/foreachBatch
+        # (streaming/ingest.py) — a .ktr file cannot express the sink.
+        from pyspark.sql import functions as F
+
+        interval_ms = int(_txt(e, "interval_in_ms", "1000") or 1000)
+        rps = max(1, round(1000.0 / max(interval_ms, 1)))
+        rate = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+        cols = [F.lit(v).alias(k) for k, v in consts.items()]
+        cols.append(F.col("timestamp").alias("generated_ts"))
+        if rownum_field:
+            cols.append(F.col("value").alias(rownum_field))
+        return rate.select(*cols)
     return row_generator(spark, int(_txt(e, "limit", "10")), consts, rownum_field)
 
 

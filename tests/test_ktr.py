@@ -240,3 +240,25 @@ def test_metainject_step_runs_template(spark):
     rows = {r.k: r.label for r in outs["Inject"].collect()}
     # threshold 15 keeps k=20,30; mapper labels b->beta, c->Other
     assert rows == {20: "beta", 30: "Other"}
+
+
+def test_rowgenerator_never_ending_is_streaming(spark):
+    """never_ending RowGenerator compiles to the rate streaming source at
+    the interval-equivalent rows/sec; downstream steps compose lazily."""
+    outs = run_ktr(spark, os.path.join(FIX, "sample_rate_gen.ktr"))
+    df = outs["Tag"]
+    assert df.isStreaming
+    assert set(df.columns) == {"source", "generated_ts", "beat_num", "beat_mod"}
+    # drive one micro-batch to prove the plan executes end-to-end
+    q = (
+        df.writeStream.format("memory")
+        .queryName("pks_beat_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from pks_beat_test").collect()
+    assert all(r.source == "heartbeat" for r in rows)
