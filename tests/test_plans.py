@@ -78,3 +78,29 @@ def test_topk_no_global_sort(spark):
     out = ops.top_k(o, [("o_totalprice", False)], 10)
     assert "TakeOrderedAndProject" in plan_summary(out)["plan"]
 
+
+
+def test_ktr_loader_plans_push_down(spark):
+    """Plans built BY THE .KTR LOADER get the same Catalyst treatment as
+    hand-built ones: the FilterRows predicate reaches the parquet scan and
+    the rollup needs a bounded number of exchanges."""
+    import __spark_entry__ as e
+
+    out = e.queries()["ktr_lineitem_rollup"](spark, SF)
+    s = plan_summary(out)
+    assert s["pushed_filters"], s["plan"]  # l_quantity >= 25 at the scan
+    # exactly one agg exchange + one sort range exchange; never a
+    # per-step materialization boundary
+    assert count_shuffles(out) == 2, s["plan"]
+
+
+def test_ktr_mapping_adds_no_shuffle(spark):
+    """A Mapping sub-transformation is plan composition, not an execution
+    boundary: the parent+child fee pipeline is pure projection — ZERO
+    exchanges — and reads only the projected columns."""
+    import __spark_entry__ as e
+
+    out = e.queries()["ktr_mapping_fee"](spark, SF)
+    assert count_shuffles(out) == 0
+    cols = read_schema_columns(out)
+    assert set(cols) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
