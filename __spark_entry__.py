@@ -762,6 +762,53 @@ def _q_ktr_mapping_fee(spark, sf):
     )
 
 
+def _q_ktr_metainject(spark, sf):
+    """MetaInject through the driver gate: CONFIG STREAMS computed from the
+    data itself rewrite examples/orders_prio_template.ktr at runtime —
+    the FilterRows threshold becomes floor(avg(o_totalprice)) and the
+    ValueMapper's field list is generated from the distinct priority values
+    — then the injected template runs (metainject/MetaInject.java)."""
+    from pentaho_kettle_spark.plans.metainject import (
+        InjectRows,
+        InjectValue,
+        collect_rows,
+        run_metainject,
+    )
+
+    o = _t(spark, sf, "orders")
+    thr = collect_rows(
+        o.agg(F.floor(F.avg("o_totalprice")).alias("thr"))
+    )[0]["thr"]
+    prio_cfg = collect_rows(
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            F.col("o_orderpriority").alias("source_value"),
+            F.lower(F.substring("o_orderpriority", 3, 100)).alias("target_value"),
+        )
+    )
+    outs = run_metainject(
+        spark,
+        os.path.join(_EXAMPLES_DIR, "orders_prio_template.ktr"),
+        [
+            InjectValue("Big only", "compare/condition/value/text", thr),
+            InjectRows(
+                "Label priority",
+                "fields/field",
+                [
+                    {"source_value": r["source_value"],
+                     "target_value": r["target_value"]}
+                    for r in sorted(prio_cfg, key=lambda r: r["source_value"])
+                ],
+            ),
+        ],
+        inputs={"Orders": o},
+    )
+    return outs["Label priority"].select(
+        "o_orderkey", "o_totalprice", "prio_label"
+    )
+
+
 # published Philips CUJ-2000 / Commons Codec Double Metaphone test vectors —
 # the oracle pins these EXPECTED codes (independent of the engine's kernel)
 _DMETA_VECTORS = [
@@ -867,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calculator_phonetic": _q_calculator_phonetic,
         "ktr_lineitem_rollup": _q_ktr_lineitem_rollup,
         "ktr_mapping_fee": _q_ktr_mapping_fee,
+        "ktr_metainject": _q_ktr_metainject,
         # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -893,7 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flattener": _q_flattener,
         "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
-        "json_fields": _q_json_fields,
         "scd2": _q_scd2,
         "closure": _q_closure,
         "fuzzy_match": _q_fuzzy_match,
@@ -920,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_streams": _q_append_streams,
         "regex_eval": _q_regex_eval,
         "split_to_rows": _q_split_to_rows,
+        "json_fields": _q_json_fields,
     }
 
 
@@ -938,6 +986,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity >= 25.0
             GROUP BY 1, 2
+        """,
+        "ktr_metainject": """
+            SELECT o_orderkey, o_totalprice,
+                   lower(substr(o_orderpriority, 3)) AS prio_label
+            FROM orders
+            WHERE o_totalprice >= (SELECT floor(avg(o_totalprice)) FROM orders)
         """,
         "ktr_mapping_fee": """
             SELECT o_orderkey, o_totalprice, o_orderpriority,
