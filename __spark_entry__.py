@@ -894,6 +894,72 @@ def _q_cdc_merge_apply(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_streaming_cdc_ingest(spark, sf):
+    """STRUCTURED STREAMING oracle row: the same derived changelog as
+    cdc_merge_apply, but delivered through readStream →
+    foreachBatch(apply_batch) with checkpointed offsets
+    (streaming/ingest.py start_cdc_ingest, maxFilesPerTrigger=1 → several
+    micro-batches). After draining, the query is RESTARTED on the same
+    checkpoint — the offset WAL yields zero reprocessing and the
+    committed-batch manifest makes any replay a no-op — then the table is
+    read back. The DuckDB oracle is the single global LWW collapse."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.streaming.ingest import start_cdc_ingest
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    # events → the transcript changelog shape read_changelog_stream pins:
+    # key (conv_id, turn_idx) = (user_id, event_id % 500), LWW on (ts, seq)
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 500).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="pks_stream_corr_", dir=tmp_parent)
+    src, ckpt, root = f"{base}/src", f"{base}/ckpt", f"{base}/table"
+    try:
+        # several files -> several micro-batches under maxFilesPerTrigger=1
+        ev.repartitionByRange(4, "seq").write.mode("overwrite").parquet(src)
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("conv_id", "turn_idx"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        tio.init_empty(
+            ev.select("conv_id", "turn_idx", "role", "text", "tool", "ts").schema
+        )
+        q = start_cdc_ingest(
+            spark, src, tio, ckpt, query_name="corr-stream",
+            salted="auto", max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+        sid = tio.snapshot_id()
+        # restart on the same checkpoint: offsets are committed, nothing
+        # reprocesses, the snapshot id must not move
+        q2 = start_cdc_ingest(
+            spark, src, tio, ckpt, query_name="corr-stream",
+            salted="auto", max_files_per_trigger=1,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        assert tio.snapshot_id() == sid, "checkpoint restart reprocessed data"
+        tio.compact()
+        out = tio.read().select(
+            "conv_id", "turn_idx", "role", "text", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -915,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktr_lineitem_rollup": _q_ktr_lineitem_rollup,
         "ktr_mapping_fee": _q_ktr_mapping_fee,
         "ktr_metainject": _q_ktr_metainject,
+        "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -941,7 +1008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flattener": _q_flattener,
         "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
-        "scd2": _q_scd2,
         "closure": _q_closure,
         "fuzzy_match": _q_fuzzy_match,
         "univariate_stats": _q_univariate_stats,
@@ -968,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_eval": _q_regex_eval,
         "split_to_rows": _q_split_to_rows,
         "json_fields": _q_json_fields,
+        "scd2": _q_scd2,
     }
 
 
@@ -1353,6 +1420,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY l_extendedprice DESC, l_linenumber) AS rk
               FROM s LEFT JOIN lineitem ON o_orderkey = l_orderkey)
             SELECT o_orderkey, l_linenumber, l_extendedprice FROM j WHERE rk <= 2
+        """,
+        "streaming_cdc_ingest": """
+            WITH win AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 500 AS INT) AS turn_idx,
+                     event_type AS role, props AS text, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_id % 500
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
         """,
         "cdc_merge_apply": """
             WITH win AS (
