@@ -894,6 +894,56 @@ def _q_cdc_merge_apply(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_schema_evolution(spark, sf):
+    """SCHEMA EVOLUTION oracle row (north-rule pillar): batch A arrives
+    under the original schema (value), batch B under an EVOLVED one —
+    `value` renamed to `amount` (rename_hints) plus a new `props` column —
+    via the same evolve-and-conform path streaming ingest uses. Old files
+    are read back under the new names with NULL-filled added columns; the
+    DuckDB oracle computes the identical per-key winner with
+    props visible only when the winner came from batch B."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", "props",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_evo_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        b_a = ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 0).select(
+            "user_id", "event_type", "value", "ts", "seq", "op"
+        )
+        apply_batch(tio, b_a, batch_id="evo-a")
+        b_b = ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 1).select(
+            "user_id", "event_type",
+            F.col("value").alias("amount"), "props", "ts", "seq", "op",
+        )
+        apply_batch(tio, b_b, batch_id="evo-b", rename_hints={"value": "amount"})
+        tio.compact()
+        names = tio.schema().names()
+        assert "amount" in names and "value" not in names and "props" in names
+        out = tio.read().select(
+            "user_id", "event_type",
+            _rnd("amount", 4).alias("amount"), "props",
+            _us("ts").alias("ts_us"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_streaming_cdc_ingest(spark, sf):
     """STRUCTURED STREAMING oracle row: the same derived changelog as
     cdc_merge_apply, but delivered through readStream →
@@ -982,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktr_mapping_fee": _q_ktr_mapping_fee,
         "ktr_metainject": _q_ktr_metainject,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -1008,7 +1059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flattener": _q_flattener,
         "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
-        "closure": _q_closure,
         "fuzzy_match": _q_fuzzy_match,
         "univariate_stats": _q_univariate_stats,
         "token_count": _q_token_count,
@@ -1035,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_to_rows": _q_split_to_rows,
         "json_fields": _q_json_fields,
         "scd2": _q_scd2,
+        "closure": _q_closure,
     }
 
 
@@ -1420,6 +1471,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY l_extendedprice DESC, l_linenumber) AS rk
               FROM s LEFT JOIN lineitem ON o_orderkey = l_orderkey)
             SELECT o_orderkey, l_linenumber, l_extendedprice FROM j WHERE rk <= 2
+        """,
+        "cdc_schema_evolution": """
+            WITH win AS (
+              SELECT user_id, event_type, value, props, ts, event_id,
+                     event_id % 2 AS b,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type,
+                   floor(value*10000 + 0.5)/10000 AS amount,
+                   CASE WHEN b = 1 THEN props END AS props,
+                   epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
         """,
         "streaming_cdc_ingest": """
             WITH win AS (
