@@ -944,6 +944,58 @@ def _q_cdc_schema_evolution(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_lineage_metrics(spark, sf):
+    """LINEAGE/METRICS oracle row (north-rule: 'per-partition lineage +
+    metrics'): replay the derived changelog in four MoR batches, then
+    return the PER-BATCH LINEAGE the table recorded — rows_appended and
+    tombstones come from `observe()` metrics inside each merge_apply. The
+    DuckDB oracle recomputes both numbers from first principles (distinct
+    keys per batch; winners that are deletes), so the engine's telemetry
+    itself is hash-verified, not just its data."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.lww import lww_collapse
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_lin_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=None,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        for i in range(4):
+            batch = ev.filter(F.pmod(F.col("seq"), F.lit(4)) == i)
+            collapsed = lww_collapse(
+                batch, key_cols=["user_id", "event_type"], lww_col="ts", seq_col="seq"
+            )
+            tio.merge_apply(collapsed, batch_id=f"lm-b{i}")
+        lineage = [
+            r for r in tio.current_manifest()["lineage"] if r.get("mode") == "mor"
+        ]
+        rows = [
+            (
+                r["batch_id"],
+                int(r["metrics"]["rows_appended"]),
+                int(r["metrics"]["tombstones"]),
+            )
+            for r in lineage
+        ]
+        return spark.createDataFrame(
+            rows, "batch_id string, rows_appended long, tombstones long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_streaming_cdc_ingest(spark, sf):
     """STRUCTURED STREAMING oracle row: the same derived changelog as
     cdc_merge_apply, but delivered through readStream →
@@ -1033,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktr_metainject": _q_ktr_metainject,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         # --- core suite ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -1059,7 +1112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flattener": _q_flattener,
         "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
-        "fuzzy_match": _q_fuzzy_match,
         "univariate_stats": _q_univariate_stats,
         "token_count": _q_token_count,
         "exact_dedup": _q_exact_dedup,
@@ -1086,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_fields": _q_json_fields,
         "scd2": _q_scd2,
         "closure": _q_closure,
+        "fuzzy_match": _q_fuzzy_match,
     }
 
 
@@ -1471,6 +1524,18 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY l_extendedprice DESC, l_linenumber) AS rk
               FROM s LEFT JOIN lineitem ON o_orderkey = l_orderkey)
             SELECT o_orderkey, l_linenumber, l_extendedprice FROM j WHERE rk <= 2
+        """,
+        "cdc_lineage_metrics": """
+            WITH b AS (
+              SELECT event_id, CAST(event_id % 4 AS INT) AS batch_i,
+                     row_number() OVER (PARTITION BY event_id % 4, user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT 'lm-b' || batch_i AS batch_id,
+                   count(*) AS rows_appended,
+                   sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS tombstones
+            FROM b WHERE rn = 1
+            GROUP BY batch_i
         """,
         "cdc_schema_evolution": """
             WITH win AS (
