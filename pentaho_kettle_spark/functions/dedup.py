@@ -41,6 +41,22 @@ def _shingles(col: Column, k: int = 5, hash_fn=F.xxhash64) -> Column:
     ).otherwise(F.array(hash_fn(_normalize(col))))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread a narrow input across the cluster BEFORE shingle explosion.
+
+    Shingling multiplies each row's work ~|text| times, so parallelism must
+    be sized to the EXPLODED volume, not the input bytes: a single small
+    parquet row group (one scan task) would otherwise run the entire
+    corpus's shingle hashing on one core. Only repartitions when the input
+    has fewer partitions than the session's default parallelism — a real
+    100-TB corpus arrives in thousands of scan tasks and passes through
+    untouched (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, id_col)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one doc per normalized-text hash (lowest id wins — deterministic)."""
     h = F.xxhash64(_normalize(F.col(text_col)))
@@ -83,7 +99,9 @@ def minhash_signatures_exploded(
     """Scale path: one row per doc with h0..h{n-1} minhash columns, computed
     by exploding shingles and hash-aggregating per id — map-side partial mins
     shrink the shuffle to num_hashes longs per doc."""
-    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s"))
+    ex = _spread(df, id_col).select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s")
+    )
     ex = ex.withColumn("_sm", F.pmod(F.col("_s"), F.lit(_MERSENNE)))
     aggs = [
         F.min((F.col("_sm") * a + b) % _MERSENNE).alias(f"h{i}")
@@ -150,7 +168,9 @@ def simhash_table(
     hash-agg columns (all shift amounts are literals → whole-stage codegen),
     then reassemble the sign pattern into one long. Map-side partial sums
     make the shuffle 64 longs per doc regardless of doc length."""
-    ex = df.select(F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s"))
+    ex = _spread(df, id_col).select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s")
+    )
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("_s"), b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
