@@ -27,6 +27,18 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Per-row vector math multiplies each row's work ~dim×queries times, so
+    parallelism must track that compute volume, not the input bytes — a
+    single small parquet row group would score the whole corpus on one
+    core. No-op when the input already has enough partitions (a real
+    sharded corpus), so no shuffle is added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, id_col)
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -41,7 +53,7 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
     )
-    scored = corpus.crossJoin(q).select(
+    scored = _spread(corpus, id_col).crossJoin(q).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine_expr(F.col(vec_col), F.col("_qv")).alias("cosine"),
@@ -90,7 +102,9 @@ def lsh_ann_topk(
     analog where the 'inverted list' is the LSH bucket."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    cb = corpus.withColumn("_bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+    cb = _spread(corpus, id_col).withColumn(
+        "_bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    )
     qb = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).withColumn(
             "_bkt", hyperplane_bucket(F.col("_qv"), dim, n_planes)
