@@ -168,6 +168,7 @@ def measure_pair(
     dist: str,
 ) -> dict:
     tput: dict[str, list[float]] = {str(low): [], str(high): []}
+    batch_secs: dict[str, list[list[float]]] = {str(low): [], str(high): []}
     # trial 0 is the discarded warm-up pair (page cache, host warm-up);
     # low/high trials are INTERLEAVED so minute-scale drift in host load
     # (shared VM) biases both sides equally
@@ -176,11 +177,18 @@ def measure_pair(
             r = run_once(cores, log_dir, batches, zip_path, f"{dist}_{low}_{high}_t{t}")
             if t > 0:
                 tput[str(cores)].append(r["events_per_sec"])
+                batch_secs[str(cores)].append(r["batch_secs"])
             print(f"{dist} {low}:{high} t{t} local[{cores}]: "
                   f"{r['events_per_sec']} ev/s batches={r['batch_secs']}",
                   file=sys.stderr, flush=True)
     runs = {
-        c: {"events_per_sec_median": statistics.median(v), "all": v}
+        c: {
+            "events_per_sec_median": statistics.median(v),
+            "all": v,
+            # per-trial batch wall times: the p99 flatness evidence
+            # (max/median <= 1.3 criterion) rides with the data
+            "batch_secs": batch_secs[c],
+        }
         for c, v in tput.items()
     }
     t_low = runs[str(low)]["events_per_sec_median"]
