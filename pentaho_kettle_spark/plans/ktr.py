@@ -1033,6 +1033,7 @@ BUILDERS = {
     "TableInput": _b_table_input,
     # round-3 additions
     "Mapping": _b_mapping,
+    "SimpleMapping": _b_mapping,  # simplemapping/: same engine path, one in/out
     "MappingInput": _b_mapping_input,
     "MappingOutput": _b_mapping_output,
     "MetaInject": _b_metainject,
