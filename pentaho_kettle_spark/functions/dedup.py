@@ -240,7 +240,9 @@ def ngram_jaccard_pairs(
     # sort before capping: "the max_shingles smallest shingle hashes" is a
     # deterministic, engine-independent subset (array_distinct order is not)
     sh = F.slice(F.array_sort(_shingles(F.col(text_col), k_shingle, hash_fn)), 1, max_shingles_per_doc)
-    base = df.select(F.col(id_col), sh.alias("_sh")).withColumn("_n", F.size("_sh"))
+    base = _spread(df, id_col).select(F.col(id_col), sh.alias("_sh")).withColumn(
+        "_n", F.size("_sh")
+    )
     ex = base.select(id_col, "_n", F.explode("_sh").alias("_s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
