@@ -3,8 +3,11 @@
 Used by Calculator (JARO/JARO_WINKLER) and Fuzzy Match (SURVEY §2.3,
 fuzzymatch/FuzzyMatch.java). These are pandas_udfs — batch-vectorized via
 Arrow, never row-at-a-time Python UDFs (input_hint mandate). The inner loop
-is pure-python per pair; acceptable because fuzzy scoring is applied to the
-*candidate pairs after* a broadcast equi-prefilter, not to the raw stream.
+is pure-python per pair, so pair count is the cost driver: fuzzy_match
+defaults to the reference's full broadcast crossJoin (fine for small
+lookups) and offers opt-in candidate blocking (length-band / first-letter /
+soundex equi-join — operators/joins.py fuzzy_match `blocking=`) to keep the
+scored pair count sub-quadratic at scale.
 """
 
 from __future__ import annotations

@@ -112,39 +112,95 @@ def fuzzy_match(
     min_similarity: float | None = None,
     match_field: str = "match",
     score_field: str = "score",
+    blocking: str | None = None,  # None | "length" | "first_letter" | "soundex"
 ) -> DataFrame:
-    """Nearest-string lookup: broadcast the lookup side, score every pair,
-    keep the best per stream row (min_by/max_by — single agg, no window).
+    """Nearest-string lookup: score candidate pairs, keep the best per
+    stream row (min_by/max_by — single agg, no window).
 
-    FuzzyMatch.java compares every stream row against the cached lookup
-    stream too; the vectorized upgrade is the same O(n·m) with Arrow batches.
+    FuzzyMatch.java caches the whole lookup stream and scans it per row —
+    O(n·m). `blocking=None` reproduces that exactly (broadcast crossJoin);
+    fine when the lookup side is small. At scale pass a blocking scheme and
+    the pairing becomes a broadcast EQUI-join on a candidate key, so cost is
+    Σ block² instead of n·m:
+
+      * ``"length"`` (levenshtein, requires max_distance): a candidate at
+        edit distance ≤ d differs in length by ≤ d, so each lookup value is
+        exploded into its d-band of lengths and joined on length(stream
+        value) — lossless for the levenshtein + max_distance contract.
+      * ``"first_letter"``: join on upper first char — standard lossy
+        blocking (a best match not sharing the first letter is missed).
+      * ``"soundex"``: join on soundex code — lossy, phonetic blocks.
+
+    Stream rows whose block has no candidate keep a NULL match (left join),
+    same as an over-threshold best score.
     """
-    lkp = F.broadcast(lookup.select(F.col(lookup_field).alias("_cand")).distinct())
-    paired = stream.crossJoin(lkp)
+    lkp = lookup.select(F.col(lookup_field).alias("_cand")).distinct()
+    if blocking is None:
+        paired = stream.crossJoin(F.broadcast(lkp))
+    else:
+        if blocking == "length":
+            if algorithm != "levenshtein" or max_distance is None:
+                raise ValueError(
+                    "blocking='length' needs algorithm='levenshtein' and max_distance"
+                )
+            cand = lkp.select(
+                "_cand",
+                F.explode(
+                    F.sequence(
+                        F.length("_cand") - max_distance,
+                        F.length("_cand") + max_distance,
+                    )
+                ).alias("_blk"),
+            )
+            skey = F.length(F.col(stream_field))
+        elif blocking == "first_letter":
+            cand = lkp.select("_cand", F.upper(F.substring("_cand", 1, 1)).alias("_blk"))
+            skey = F.upper(F.substring(F.col(stream_field), 1, 1))
+        elif blocking == "soundex":
+            cand = lkp.select("_cand", F.soundex("_cand").alias("_blk"))
+            skey = F.soundex(F.col(stream_field))
+        else:
+            raise ValueError(f"unknown blocking scheme {blocking!r}")
+        paired = (
+            stream.withColumn("_blk", skey)
+            .join(F.broadcast(cand), on="_blk", how="left")
+            .drop("_blk")
+        )
     s, c = F.col(stream_field), F.col("_cand")
-    # ties broken deterministically: lexicographically smallest candidate
+    # ties broken deterministically: lexicographically smallest candidate.
+    # c.isNull() leads every ordering struct so unmatched-block rows (left
+    # join put a NULL candidate on them) lose to any real candidate and
+    # surface as NULL match.
     if algorithm == "levenshtein":
         score = F.levenshtein(s, c)
-        best = F.min_by(c, F.struct(score, c))
-        best_score = F.min(score)
-        keep = F.lit(True) if max_distance is None else (best_score <= max_distance)
+        best = F.min_by(c, F.struct(c.isNull(), score, c))
+        best_score = F.min(score)  # min/max skip NULLs (NULL-candidate rows)
     elif algorithm in ("jaro", "jaro_winkler"):
         from pentaho_kettle_spark.functions.strings_udf import jaro_udf, jaro_winkler_udf
 
         udf = jaro_udf if algorithm == "jaro" else jaro_winkler_udf
         score = udf(s, c)
-        best = F.min_by(c, F.struct(-score, c))
+        best = F.min_by(c, F.struct(c.isNull(), -score, c))
         best_score = F.max(score)
-        keep = F.lit(True) if min_similarity is None else (best_score >= min_similarity)
     elif algorithm == "soundex":
         score = (F.soundex(s) == F.soundex(c)).cast("int")
-        best = F.min_by(c, F.struct(-score, c))
+        best = F.min_by(c, F.struct(c.isNull(), -score, c))
         best_score = F.max(score)
-        keep = best_score == 1
     else:
         raise ValueError(algorithm)
     keys = [x for x in stream.columns]
-    agg = paired.groupBy(*keys).agg(best.alias(match_field), best_score.alias(score_field))
+    agg = paired.groupBy(*keys).agg(
+        best.alias(match_field), best_score.alias(score_field)
+    )
+    # threshold applied on the aggregated best score; a block with no
+    # candidate left score_field NULL, which fails every comparison → NULL
+    sc = F.col(score_field)
+    if algorithm == "levenshtein":
+        keep = sc.isNotNull() if max_distance is None else (sc <= max_distance)
+    elif algorithm == "soundex":
+        keep = sc == 1
+    else:
+        keep = sc.isNotNull() if min_similarity is None else (sc >= min_similarity)
     return agg.withColumn(match_field, F.when(keep, F.col(match_field)))
 
 

@@ -56,10 +56,28 @@ class JobResult:
     results: dict[str, object] = field(default_factory=dict)  # entry -> outputs
     failed_entry: str | None = None
     error: str | None = None
+    # every entry that failed, in execution order — the reference's nrErrors
+    # accumulation: a TRANS failure routed through a failure hop still counts
+    # against the final job result unless a SUCCESS entry clears it
+    failed_entries: list[str] = field(default_factory=list)
 
 
-def parse_kjb(path: str) -> Job:
+def parse_kjb(path: str, variables: dict | None = None) -> Job:
+    """Parse a .kjb; ``variables`` resolves ${VAR} placeholders in every text
+    node against caller values → environment → the job's own <parameters>
+    defaults (plans/variables.py, reference Variables.java)."""
+    from pentaho_kettle_spark.plans.variables import (
+        Variables,
+        file_parameter_defaults,
+        resolve_tree,
+    )
+
     root = ET.parse(path).getroot()
+    vspace = (
+        variables if isinstance(variables, Variables) else Variables(variables)
+    )
+    vspace.defaults = {**file_parameter_defaults(root), **vspace.defaults}
+    resolve_tree(root, vspace)
     entries: dict[str, JobEntry] = {}
     start = None
     for e in root.findall("entries/entry"):
@@ -87,6 +105,7 @@ def run_kjb(
     path: str,
     inputs: dict[str, DataFrame] | None = None,
     max_entries: int = 1000,
+    variables: dict | None = None,
 ) -> JobResult:
     """Execute a job. `inputs` pre-binds step names inside executed
     transformations (e.g. TableInput stand-ins), like run_ktr's `inputs`.
@@ -95,69 +114,121 @@ def run_kjb(
     without a failure), the executed entry order, and per-TRANS terminal
     DataFrames under results[entry_name].
     """
+    import threading
+
     from pentaho_kettle_spark.plans.ktr import run_ktr
 
-    job = parse_kjb(path)
+    from pentaho_kettle_spark.plans.variables import Variables
+
+    vspace = variables if isinstance(variables, Variables) else Variables(variables)
+    job = parse_kjb(path, variables=vspace)
     if job.start is None:
         raise ValueError(f"job '{job.name}' has no START entry")
     res = JobResult(success=True)
-    state = {"steps": 0, "aborted": False}
+    state = {"steps": 0, "aborted": False, "success_entry": False}
+    lock = threading.Lock()
+    worker_errors: list[BaseException] = []
 
-    def _exec(current: str) -> None:
-        """Run one entry, then EVERY matching outgoing hop, depth-first —
-        the reference Job engine executes all matching next entries serially
-        (Job.java execute(), nextJobEntries loop), so two success hops from
-        one entry both fire."""
-        state["steps"] += 1
-        if state["steps"] > max_entries:
-            raise RuntimeError(
-                f"job '{job.name}' exceeded {max_entries} entries (cycle?)"
-            )
-        entry = job.entries.get(current)
-        if entry is None:
-            raise ValueError(f"hop points at unknown entry '{current}'")
-        res.executed.append(current)
-        ok = True
-        if entry.type == "SPECIAL" or entry.type == "DUMMY":
+    def _run_chain(root_entry: str) -> None:
+        """Execute a chain with an explicit work-stack (DFS preorder — same
+        order the recursive version produced, without one Python frame per
+        entry: a 1000-entry linear chain must hit the friendly max_entries
+        guard, not RecursionError). The reference Job engine executes all
+        matching next entries serially (Job.java execute(), nextJobEntries
+        loop) unless the entry sets launchingInParallel — then each next
+        entry runs in its own thread and the parent waits (Job.java
+        JobEntryJobRunner threads + waitUntilFinished)."""
+        stack = [root_entry]
+        while stack:
+            current = stack.pop()
+            with lock:
+                if state["aborted"]:
+                    return  # ABORT halts the whole job, not just its branch
+                state["steps"] += 1
+                if state["steps"] > max_entries:
+                    raise RuntimeError(
+                        f"job '{job.name}' exceeded {max_entries} entries (cycle?)"
+                    )
+                res.executed.append(current)
+            entry = job.entries.get(current)
+            if entry is None:
+                raise ValueError(f"hop points at unknown entry '{current}'")
             ok = True
-        elif entry.type == "TRANS":
-            fname = entry.elem.findtext("filename")
-            if fname and not os.path.isabs(fname):
-                fname = os.path.join(os.path.dirname(os.path.abspath(path)), fname)
-            try:
-                res.results[current] = run_ktr(spark, fname, inputs=inputs)
-            except Exception as exc:  # noqa: BLE001 - failure routes the hop
-                ok = False
-                res.error = f"{current}: {exc}"
-        elif entry.type == "SUCCESS":
-            res.success = True
-            return
-        elif entry.type == "ABORT":
-            res.success = False
-            res.failed_entry = current
-            res.error = entry.elem.findtext("message") or "aborted"
-            state["aborted"] = True
-            return
-        else:
-            raise NotImplementedError(
-                f"job entry '{current}' has unsupported type '{entry.type}' "
-                "(shell/mail/ftp entries are declared non-goals)"
-            )
-        # conditional hops match the entry outcome; unconditional hops always
-        # fire (reference: JobHopMeta evaluation)
-        matched = [
-            h.to
-            for h in job.hops
-            if h.frm == current and (h.unconditional or h.on_success == ok)
-        ]
-        if not matched and not ok:
-            res.success = False
-            res.failed_entry = current
-            return
-        for target in matched:
-            if state["aborted"]:
-                return  # ABORT halts the whole job, not just its branch
-            _exec(target)
+            if entry.type == "SPECIAL" or entry.type == "DUMMY":
+                ok = True
+            elif entry.type == "TRANS":
+                fname = entry.elem.findtext("filename")
+                if fname and not os.path.isabs(fname):
+                    fname = os.path.join(
+                        os.path.dirname(os.path.abspath(path)), fname
+                    )
+                try:
+                    out = run_ktr(spark, fname, inputs=inputs, variables=vspace)
+                    with lock:
+                        res.results[current] = out
+                except Exception as exc:  # noqa: BLE001 - failure routes the hop
+                    ok = False
+                    with lock:
+                        res.error = f"{current}: {exc}"
+                        res.failed_entries.append(current)
+            elif entry.type == "SUCCESS":
+                with lock:
+                    state["success_entry"] = True
+                continue
+            elif entry.type == "ABORT":
+                with lock:
+                    res.failed_entry = current
+                    res.failed_entries.append(current)
+                    res.error = entry.elem.findtext("message") or "aborted"
+                    state["aborted"] = True
+                return
+            else:
+                raise NotImplementedError(
+                    f"job entry '{current}' has unsupported type '{entry.type}' "
+                    "(shell/mail/ftp entries are declared non-goals)"
+                )
+            # conditional hops match the entry outcome; unconditional hops
+            # always fire (reference: JobHopMeta evaluation)
+            matched = [
+                h.to
+                for h in job.hops
+                if h.frm == current and (h.unconditional or h.on_success == ok)
+            ]
+            if not matched and not ok:
+                with lock:
+                    res.failed_entry = current
+                return
+            if (entry.elem.findtext("parallel") or "N") == "Y" and len(matched) > 1:
+                threads = [
+                    threading.Thread(target=_guarded_chain, args=(t,), daemon=True)
+                    for t in matched
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            else:
+                stack.extend(reversed(matched))
 
-    _exec(job.start)
+    def _guarded_chain(entry_name: str) -> None:
+        try:
+            _run_chain(entry_name)
+        except BaseException as exc:  # noqa: BLE001 - re-raised on the caller
+            with lock:
+                worker_errors.append(exc)
+
+    _run_chain(job.start)
+    if worker_errors:
+        raise worker_errors[0]
+    # final result: ABORT always fails; otherwise an explicit SUCCESS entry
+    # clears accumulated errors (JobEntrySuccess analog), else any failed
+    # entry fails the job even when a failure hop handled it (nrErrors)
+    if state["aborted"]:
+        res.success = False
+    elif state["success_entry"]:
+        res.success = True
+    else:
+        res.success = not res.failed_entries
+        if res.failed_entries and res.failed_entry is None:
+            res.failed_entry = res.failed_entries[0]
     return res

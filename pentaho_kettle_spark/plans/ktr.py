@@ -44,6 +44,7 @@ class KtrStep:
     type: str
     elem: ET.Element
     dir: str = ""  # directory of the owning .ktr (for relative child paths)
+    vars: object = None  # the Variables space the file was parsed under
 
 
 @dataclass
@@ -53,10 +54,27 @@ class KtrTrans:
     hops: list[tuple[str, str]]  # (from, to), enabled only
 
 
-def parse_ktr(path: str) -> KtrTrans:
+def parse_ktr(path: str, variables: dict | None = None) -> KtrTrans:
+    """Parse a .ktr. ``variables`` feeds the Kettle variable space —
+    ``${VAR}`` / ``%%VAR%%`` in any text node resolves against caller values,
+    then the process environment, then the file's own <parameters> defaults
+    (plans/variables.py; reference core/.../variables/Variables.java)."""
+    from pentaho_kettle_spark.plans.variables import (
+        Variables,
+        file_parameter_defaults,
+        resolve_tree,
+    )
+
     root = ET.parse(path).getroot()
     if root.tag != "transformation":
         raise ValueError(f"{path}: not a .ktr transformation (root <{root.tag}>)")
+    vspace = (
+        variables
+        if isinstance(variables, Variables)
+        else Variables(variables)
+    )
+    vspace.defaults = {**file_parameter_defaults(root), **vspace.defaults}
+    resolve_tree(root, vspace)
     name = root.findtext("info/name", default=path)
     import os
 
@@ -64,7 +82,7 @@ def parse_ktr(path: str) -> KtrTrans:
     steps = {}
     for s in root.findall("step"):
         sname = s.findtext("name")
-        steps[sname] = KtrStep(sname, s.findtext("type"), s, kdir)
+        steps[sname] = KtrStep(sname, s.findtext("type"), s, kdir, vspace)
     hops = [
         (h.findtext("from"), h.findtext("to"))
         for h in root.findall("order/hop")
@@ -641,12 +659,22 @@ def _b_row_generator(spark, step, inputs):
         from pyspark.sql import functions as F
 
         interval_ms = int(_txt(e, "interval_in_ms", "1000") or 1000)
-        rps = max(1, round(1000.0 / max(interval_ms, 1)))
+        if interval_ms <= 1000:
+            # sub-second intervals map directly to rowsPerSecond
+            rps, stride = max(1, round(1000.0 / max(interval_ms, 1))), 1
+        else:
+            # rowsPerSecond is an integer ≥1 — it cannot express slower than
+            # one row/sec, so emit at 1 rps and keep every ceil(interval/1s)th
+            # row: interval_in_ms=5000 yields one row per 5s, not 1/sec (the
+            # old clamp emitted 5× Kettle's rate for any interval > ~1.5s)
+            rps, stride = 1, -(-interval_ms // 1000)
         rate = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+        if stride > 1:
+            rate = rate.filter(F.col("value") % stride == 0)
         cols = [F.lit(v).alias(k) for k, v in consts.items()]
         cols.append(F.col("timestamp").alias("generated_ts"))
         if rownum_field:
-            cols.append(F.col("value").alias(rownum_field))
+            cols.append((F.col("value") / stride).cast("long").alias(rownum_field))
         return rate.select(*cols)
     return row_generator(spark, int(_txt(e, "limit", "10")), consts, rownum_field)
 
@@ -850,7 +878,17 @@ def _b_mapping(spark, step, inputs):
             "supported (<filename>); repository references are not"
         )
     path = fname if os.path.isabs(fname) else os.path.join(step.dir, fname)
-    child = parse_ktr(path)
+    # child inherits the parent's variable space (Kettle: mappings share the
+    # parent TransMeta's space); <parameters><parameter><name>/<value> pairs
+    # on the Mapping step override — their values were already substituted
+    # against the parent space during the parent's parse
+    extra = {
+        p.findtext("name"): p.findtext("value") or ""
+        for p in e.findall("parameters/parameter")
+        if p.findtext("name")
+    }
+    child_vars = step.vars.child(extra) if step.vars is not None else extra
+    child = parse_ktr(path, variables=child_vars)
     mi = [s for s in child.steps.values() if s.type == "MappingInput"]
     mo = [s for s in child.steps.values() if s.type == "MappingOutput"]
     if len(mi) != 1 or len(mo) != 1:
@@ -865,7 +903,7 @@ def _b_mapping(spark, step, inputs):
             df = df.withColumnRenamed(
                 conn.findtext("parent"), conn.findtext("child")
             )
-    outs = run_ktr(spark, path, inputs={mi[0].name: df})
+    outs = run_ktr(spark, path, inputs={mi[0].name: df}, variables=child_vars)
     res = outs.get(mo[0].name)
     if res is None:
         raise ValueError(
@@ -873,10 +911,13 @@ def _b_mapping(spark, step, inputs):
             f"'{mo[0].name}' must be a terminal step"
         )
     if maps is not None:
-        # Kettle reverts the input renames once rows leave the mapping,
-        # unless the input definition sets <rename_on_output>Y
+        # Kettle reverts the input renames once rows leave the mapping when
+        # the input definition's <rename_on_output> is Y — Mapping.java only
+        # adds the valueRenames to inputRenameList under that flag, and Spoon
+        # writes Y by default, so a MISSING flag means Y (revert). N keeps
+        # the child-side names on the output stream.
         for m in maps.findall("input/mapping"):
-            if (m.findtext("rename_on_output") or "N") == "Y":
+            if (m.findtext("rename_on_output") or "Y") == "N":
                 continue
             for conn in m.findall("connectors/connector"):
                 res = res.withColumnRenamed(
@@ -954,7 +995,7 @@ def _b_metainject(spark, step, inputs):
                 [{lf: r[f] for lf, f in leaf_fields} for r in rows_of(src)],
             )
         )
-    outs = mi.run_metainject(spark, path, injections)
+    outs = mi.run_metainject(spark, path, injections, variables=step.vars)
     if len(outs) != 1:
         raise NotImplementedError(
             f"MetaInject '{step.name}': template must have exactly one "
@@ -1045,11 +1086,13 @@ def run_ktr(
     spark: SparkSession,
     path: str,
     inputs: dict[str, DataFrame] | None = None,
+    variables: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a .ktr: returns {step_name: DataFrame} for every TERMINAL step
     (no outgoing hop). `inputs` can pre-bind step names to DataFrames
-    (replacing e.g. TableInput steps the sandbox can't reach)."""
-    trans = parse_ktr(path)
+    (replacing e.g. TableInput steps the sandbox can't reach). `variables`
+    resolves ${VAR} placeholders in the file (see parse_ktr)."""
+    trans = parse_ktr(path, variables=variables)
     produced: dict[str, DataFrame] = dict(inputs or {})
     # routed outputs: (from_step, to_step) -> DataFrame
     routed: dict[tuple[str, str], DataFrame] = {}

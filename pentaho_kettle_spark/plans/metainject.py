@@ -119,12 +119,13 @@ def run_metainject(
     template_path: str,
     injections: list[InjectValue | InjectRows],
     inputs: dict | None = None,
+    variables: dict | None = None,
 ):
     """Inject + run: returns run_ktr's {terminal step: DataFrame}."""
     from pentaho_kettle_spark.plans.ktr import run_ktr
 
     mutated = inject(template_path, injections)
     try:
-        return run_ktr(spark, mutated, inputs=inputs)
+        return run_ktr(spark, mutated, inputs=inputs, variables=variables)
     finally:
         os.unlink(mutated)

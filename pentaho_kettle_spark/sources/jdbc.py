@@ -268,21 +268,27 @@ def database_lookup(
         F.sum(F.col("l._m")).alias("_n"),
     ]
     agg = joined.groupBy(F.col("s._rid")).agg(*aggs)
-    out_cols = [F.col(f"_row.{c}").alias(c) for c in stream.columns]
-    for idx, (lf, out) in enumerate(return_fields):
+
+    def _guard(expr):
+        # deferred assertion: fused into EVERY output expression so it fires
+        # at action time (no extra eager job / double compute) and survives
+        # Catalyst column pruning no matter which subset the caller selects —
+        # a guard on only one column would be deleted along with that column.
+        if not fail_on_multiple:
+            return expr
+        return F.when(
+            F.col("_n") > 1,
+            F.raise_error(
+                F.lit("database_lookup: stream row matched multiple lookup rows")
+            ),
+        ).otherwise(expr)
+
+    out_cols = [_guard(F.col(f"_row.{c}")).alias(c) for c in stream.columns]
+    for lf, out in return_fields:
         expr = F.when(F.col("_n").isNull(), F.lit(defaults.get(out))).otherwise(
             F.col(f"_pick.{out}")
         )
-        if fail_on_multiple and idx == 0:
-            # deferred assertion: fused into the first output expression so it
-            # fires at action time (no extra eager job / double compute)
-            expr = F.when(
-                F.col("_n") > 1,
-                F.raise_error(
-                    F.lit("database_lookup: stream row matched multiple lookup rows")
-                ),
-            ).otherwise(expr)
-        out_cols.append(expr.alias(out))
+        out_cols.append(_guard(expr).alias(out))
     return agg.select(*out_cols)
 
 

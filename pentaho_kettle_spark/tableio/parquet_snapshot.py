@@ -310,8 +310,10 @@ class ParquetSnapshotTableIO:
                 "_bucket", bucket_expr(self.key_cols[0], self.n_buckets)
             ).repartition(self.n_buckets, "_bucket")
         staged.write.mode("overwrite").partitionBy("_bucket").parquet(outdir)
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        has_del = SYS_DELETED in df.columns
         files: dict[str, list[dict]] = {}
         for dirpath, _dirnames, filenames in os.walk(outdir):
             for fn in filenames:
@@ -319,14 +321,25 @@ class ParquetSnapshotTableIO:
                     continue
                 full = os.path.join(dirpath, fn)
                 bucket = dirpath.split("_bucket=")[-1]
-                rows = pq.ParquetFile(full).metadata.num_rows
+                pf = pq.ParquetFile(full)
+                rows = pf.metadata.num_rows
                 if rows == 0:
                     continue
-                rel = os.path.relpath(full, self.root)
-                files.setdefault(bucket, []).append(
-                    {"path": rel, "schema_version": schema_version, "rows": rows,
-                     "kind": kind}
-                )
+                entry = {"path": os.path.relpath(full, self.root),
+                         "schema_version": schema_version, "rows": rows,
+                         "kind": kind}
+                if has_del:
+                    # per-file tombstone count, read back from the bit-packed
+                    # _deleted column at write time (Iceberg manifests record
+                    # the same per-file delete stats). Deterministic — unlike
+                    # Observation metrics, which mis-count under task retry —
+                    # and O(1 bit/row) of extra I/O against the local footer
+                    # walk this loop already does.
+                    entry["del_rows"] = int(
+                        pc.sum(pf.read(columns=[SYS_DELETED])[SYS_DELETED]).as_py()
+                        or 0
+                    )
+                files.setdefault(bucket, []).append(entry)
         return files
 
     def init_empty(self, schema: T.StructType) -> None:
@@ -591,23 +604,24 @@ class ParquetSnapshotTableIO:
             (F.col("op") == F.lit("D")).alias(SYS_DELETED),
         )
 
-        from pyspark.sql import Observation
-
-        obs = Observation(f"mor-{batch_id or 'adhoc'}")
-        delta = delta.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_appended"),
-            F.sum(F.col(SYS_DELETED).cast("long")).alias("tombstones"),
-        )
         new_files = self._write_buckets(delta, schema.version, kind="delta")
-        metrics = obs.get
+        # metrics derived from the parquet footers / per-file delete stats the
+        # write just recorded — deterministic by construction. The previous
+        # Observation-based counters could mis-count under task retry /
+        # recomputation (observe() is action-scoped), which showed up as an
+        # intermittent lineage hash mismatch in long driver sessions.
+        all_entries = [e for es in new_files.values() for e in es]
+        metrics = {
+            "rows_appended": sum(e["rows"] for e in all_entries),
+            "tombstones": sum(e.get("del_rows", 0) for e in all_entries),
+        }
 
         lineage_rec = {
             "batch_id": batch_id,
             "mode": "mor",
             "touched_buckets": sorted(int(b) for b in new_files),
             "per_bucket_rows": {b: sum(e["rows"] for e in es) for b, es in new_files.items()},
-            "metrics": {k: int(v) if v is not None else 0 for k, v in metrics.items()},
+            "metrics": metrics,
             "seq_high_watermark": seq_high_watermark,
         }
 

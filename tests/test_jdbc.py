@@ -106,6 +106,15 @@ def test_database_lookup_like_and_fail_on_multiple(spark):
             return_fields=[("tag", "tag")],
             fail_on_multiple=True,
         ).collect()
+    # the guard survives column pruning: selecting a subset that DROPS the
+    # return field must still raise (it is fused into every output column)
+    with pytest.raises(Exception, match="multiple"):
+        database_lookup(
+            multi, lookup,
+            conditions=[("word", "LIKE", "pat")],
+            return_fields=[("tag", "tag")],
+            fail_on_multiple=True,
+        ).select("word").collect()
 
 
 def test_database_join_lateral_topk(spark):

@@ -181,6 +181,25 @@ def test_run_ktr_mapping_subtransformation(spark):
     assert "order_fee" in out.columns and "fee" not in out.columns
 
 
+def test_mapping_rename_on_output_flag(spark):
+    """MappingIODefinition.isRenamingOnOutput(): Y (and Spoon's default when
+    the tag is absent) reverts the parent→child input renames at
+    MappingOutput; an explicit N keeps the CHILD names downstream."""
+    # explicit Y — same round-trip behavior as the flag-absent fixture
+    out_y = run_ktr(spark, os.path.join(FIX, "parent_mapping_rename_y.ktr"))[
+        "Apply fee mapping"
+    ]
+    assert "amount" in out_y.columns and "amt" not in out_y.columns
+    # explicit N — child-side names survive on the output stream
+    out_n = run_ktr(spark, os.path.join(FIX, "parent_mapping_norename.ktr"))[
+        "Apply fee mapping"
+    ]
+    assert "amt" in out_n.columns and "amount" not in out_n.columns
+    assert "rate" in out_n.columns and "pct" not in out_n.columns
+    # output-connector renames are independent of the input flag
+    assert "order_fee" in out_n.columns and "fee" not in out_n.columns
+
+
 def test_mapping_input_standalone_raises(spark):
     with pytest.raises(NotImplementedError, match="MappingInput"):
         run_ktr(spark, os.path.join(FIX, "child_mapping.ktr"))
@@ -197,6 +216,114 @@ def test_kjb_fanout_executes_all_matching_hops(spark):
     assert set(res.results) == {"rollup", "join"}
     rows = {r.k: r.label for r in res.results["join"]["Join"].collect()}
     assert rows == {1: "one", 2: "two", 3: None}
+
+
+def test_kjb_parallel_launch(spark):
+    """Kettle's launch-next-entries-in-parallel flag (<parallel>Y on the
+    entry): both TRANS branches run (in threads) and the job waits for
+    them; the conditional hop off one branch still fires."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_parallel.kjb"))
+    assert res.success
+    assert set(res.results) == {"rollup", "join"}
+    assert "done" in res.executed
+    rows = {r.k: r.label for r in res.results["join"]["Join"].collect()}
+    assert rows == {1: "one", 2: "two", 3: None}
+
+
+def test_kjb_handled_failure_still_fails_job(spark):
+    """nrErrors accumulation: a TRANS failure routed through a failure hop
+    that terminates normally (no ABORT, no SUCCESS) must still fail the
+    overall job and record the failing entry."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_handled_fail.kjb"))
+    assert res.executed == ["START", "guard", "cleanup"]
+    assert not res.success
+    assert res.failed_entries == ["guard"]
+    assert res.failed_entry == "guard"
+    # the cleanup transformation really ran despite the failure
+    assert res.results["cleanup"]["Join"].count() == 3
+
+
+def test_kjb_long_chain_no_recursion(spark, tmp_path):
+    """A linear chain near max_entries completes iteratively — the old
+    one-Python-frame-per-entry recursion hit RecursionError before the
+    friendly max_entries guard."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    n = 1500
+    entries = ['<entry><name>START</name><type>SPECIAL</type><start>Y</start></entry>']
+    hops = []
+    prev = "START"
+    for i in range(n):
+        entries.append(f"<entry><name>d{i}</name><type>DUMMY</type></entry>")
+        hops.append(
+            f"<hop><from>{prev}</from><to>d{i}</to><unconditional>Y</unconditional></hop>"
+        )
+        prev = f"d{i}"
+    kjb = (
+        '<?xml version="1.0"?><job><name>chain</name><entries>'
+        + "".join(entries)
+        + "</entries><hops>"
+        + "".join(hops)
+        + "</hops></job>"
+    )
+    p = tmp_path / "chain.kjb"
+    p.write_text(kjb)
+    res = run_kjb(spark, str(p), max_entries=n + 10)
+    assert res.success and len(res.executed) == n + 1
+    # and the guard still catches a genuine over-run
+    with pytest.raises(RuntimeError, match="exceeded"):
+        run_kjb(spark, str(p), max_entries=100)
+
+
+def test_variables_unit():
+    """Variables space: precedence (values > env > defaults), recursive
+    expansion, %%VAR%% alt syntax, unknown-stays-verbatim, cycle cap."""
+    import os as _os
+
+    from pentaho_kettle_spark.plans.variables import Variables
+
+    v = Variables({"A": "x", "B": "${A}/y"}, defaults={"D": "dflt"})
+    assert v.substitute("${A}") == "x"
+    assert v.substitute("${B}") == "x/y"  # recursive
+    assert v.substitute("%%A%%-${D}") == "x-dflt"
+    assert v.substitute("${NOPE}") == "${NOPE}"  # unknown stays verbatim
+    _os.environ["PKS_TEST_VAR"] = "fromenv"
+    try:
+        assert v.substitute("${PKS_TEST_VAR}") == "fromenv"
+        # caller value shadows env
+        v2 = Variables({"PKS_TEST_VAR": "caller"})
+        assert v2.substitute("${PKS_TEST_VAR}") == "caller"
+    finally:
+        del _os.environ["PKS_TEST_VAR"]
+    # self-referential chain terminates
+    loop = Variables({"L": "${L}x"})
+    assert loop.substitute("${L}").endswith("x")
+
+
+def test_run_ktr_variable_substitution(spark, tmp_path):
+    """${VAR} resolution through a real .ktr: the CSV path comes from a
+    caller variable, the filter threshold from the file's <parameters>
+    default — and a caller override changes the plan."""
+    (tmp_path / "orders.csv").write_text(
+        "order_id,status,amount\n1,P,100.0\n2,F,250.5\n3,P,80.0\n4,O,10.0\n5,F,19.5\n"
+    )
+    outs = run_ktr(
+        spark,
+        os.path.join(FIX, "sample_vars.ktr"),
+        variables={"DATA_DIR": str(tmp_path)},
+    )
+    assert [r.order_id for r in outs["Sorted"].collect()] == [1, 2, 3]
+    # caller value overrides the file's MIN_AMOUNT default
+    outs = run_ktr(
+        spark,
+        os.path.join(FIX, "sample_vars.ktr"),
+        variables={"DATA_DIR": str(tmp_path), "MIN_AMOUNT": "200"},
+    )
+    assert [r.order_id for r in outs["Sorted"].collect()] == [2]
 
 
 def test_metainject_pure_xml_rewrite():

@@ -168,3 +168,69 @@ def test_update_rows_discards_unknown_keys(spark):
     incoming = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
     out = ops.update_rows(target, incoming, ["k"])
     assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "B")}
+
+
+def test_fuzzy_match_blocking_lossless_for_levenshtein(spark):
+    """blocking='length' is LOSSLESS under the levenshtein + max_distance
+    contract (edit distance ≤ d ⇒ length delta ≤ d): blocked output equals
+    the unblocked crossJoin output, and the plan pairs candidates with an
+    EQUI-join, not a cartesian product."""
+    stream = spark.createDataFrame(
+        [("kettle",), ("spark",), ("zzzzzzzzzzzz",)], ["word"]
+    )
+    lookup = spark.createDataFrame(
+        [("kettle",), ("cattle",), ("sparc",), ("spear",)], ["cand"]
+    )
+    kw = dict(algorithm="levenshtein", max_distance=2)
+    plain = ops.fuzzy_match(stream, lookup, "word", "cand", **kw)
+    blocked = ops.fuzzy_match(stream, lookup, "word", "cand", blocking="length", **kw)
+    # score is reported only alongside a kept match: the unblocked path
+    # retains the best (over-threshold) score on unmatched rows, the blocked
+    # path never scored anything — the MATCH contract is what must agree
+    as_set = lambda df: {(r.word, r.match) for r in df.collect()}
+    got = as_set(blocked)
+    assert got == as_set(plain)
+    assert ("zzzzzzzzzzzz", None) in got  # no block → NULL match
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_fuzzy_match_blocking_scale(spark):
+    """10^4 x 10^4: length blocking completes where the crossJoin would
+    enumerate 10^8 pairs. Strings spread over ~40 length blocks, so the
+    equi-join pairs ~d-band neighbors only."""
+    import pyspark.sql.functions as SF
+
+    n = 10_000
+    stream = spark.range(n).select(
+        SF.concat(SF.lit("w"), SF.col("id").cast("string"),
+                  SF.expr("repeat('x', CAST(id % 40 AS INT))")).alias("word")
+    )
+    lookup = spark.range(n).select(
+        SF.concat(SF.lit("w"), SF.col("id").cast("string"),
+                  SF.expr("repeat('x', CAST((id + 1) % 40 AS INT))")).alias("cand")
+    )
+    out = ops.fuzzy_match(
+        stream, lookup, "word", "cand",
+        algorithm="levenshtein", max_distance=1, blocking="length",
+    )
+    assert out.count() == n
+    # spot-check: w5xxxxx has two distance-1 candidates (w4xxxxx by
+    # substitution, w5xxxxxx by insertion) — tie broken lexicographically
+    row = out.filter(SF.col("word") == "w5" + "x" * 5).first()
+    assert row.score == 1 and row.match == "w4" + "x" * 5
+
+
+def test_fuzzy_match_first_letter_blocking(spark):
+    """Lossy first-letter blocking: candidates in another block are never
+    scored; an empty block yields a NULL match."""
+    stream = spark.createDataFrame([("martha",), ("quincy",)], ["word"])
+    lookup = spark.createDataFrame([("marhta",), ("zebra",)], ["cand"])
+    out = ops.fuzzy_match(
+        stream, lookup, "word", "cand",
+        algorithm="jaro_winkler", blocking="first_letter",
+    )
+    got = {r.word: r.match for r in out.collect()}
+    assert got["martha"] == "marhta"
+    assert got["quincy"] is None

@@ -88,6 +88,38 @@ def test_lineage_and_bucket_pruning(spark, tmp_path):
     assert t.read().count() == 50
 
 
+def test_mor_lineage_metrics_deterministic(spark, tmp_path):
+    """MoR lineage counters are footer-derived (not Observation): replaying
+    identical batches into two fresh tables yields identical metrics, and the
+    numbers equal first-principles counts of the collapsed batch."""
+    batches = [
+        [
+            ("c1", 0, "a", _ts("2026-01-01T00:00:01"), "U", 1),
+            ("c2", 0, "b", _ts("2026-01-01T00:00:02"), "U", 2),
+            ("c3", 0, None, _ts("2026-01-01T00:00:03"), "D", 3),
+        ],
+        [
+            ("c1", 0, None, _ts("2026-01-01T00:00:05"), "D", 5),
+            ("c4", 0, "d", _ts("2026-01-01T00:00:06"), "U", 6),
+        ],
+    ]
+    runs = []
+    for run in ("x", "y"):
+        t = ParquetSnapshotTableIO(
+            spark, str(tmp_path / f"t{run}"), n_buckets=4, write_mode="mor",
+            compact_delta_files=None,
+        )
+        t.init_empty(SCHEMA)
+        for i, rows in enumerate(batches):
+            t.merge_apply(_chg(spark, rows), f"b{i}")
+        runs.append(
+            [(r["batch_id"], r["metrics"]) for r in t.current_manifest()["lineage"]]
+        )
+    assert runs[0] == runs[1]
+    assert runs[0][0][1] == {"rows_appended": 3, "tombstones": 1}
+    assert runs[0][1][1] == {"rows_appended": 2, "tombstones": 1}
+
+
 def test_overwrite_bootstrap(spark, tmp_path):
     t = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=4)
     df = spark.createDataFrame(
