@@ -178,17 +178,23 @@ def main() -> None:
 
     qs = {**qs, "minhash_dedup": _minhash_scale}
 
+    # MEDIAN of 3 timed passes per query (after a warm-up): sub-second
+    # queries on this shared host are noise-dominated — a single sample (or
+    # best-of-2) can't attribute a ±0.1s delta to the engine. The median is
+    # robust to one load burst either way; per-pass samples ride along in
+    # "query_passes" so a reader can judge the spread.
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm-up: JIT + file listing
-        best = None
-        for _ in range(2):  # best of 2: shared-VM load bursts (BASELINE.md)
+        samples = []
+        for _ in range(3):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(round(time.time() - t0, 3))
+        passes[name] = samples
+        timings[name] = sorted(samples)[1]
 
     cdc = _bench_cdc(spark)
 
@@ -197,6 +203,8 @@ def main() -> None:
         "value": round(sum(timings.values()) + cdc["replay_sec"], 2),
         "unit": "sec",
         "queries": timings,
+        "query_passes": passes,
+        "timing": "median-of-3",
         "sf": SF_DIR,
         "cpus": int(CPUS),
         "cdc": cdc,

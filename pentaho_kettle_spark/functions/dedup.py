@@ -231,12 +231,22 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.8,
     max_shingles_per_doc: int = 512,
     hash_fn=F.xxhash64,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-free inverted-index candidates: explode
     shingles → co-occurrence counts per pair → |A∩B| / (|A|+|B|-|A∩B|).
     The shingle cap bounds the explode fan-out (log what was dropped at call
     sites). Suited to verifying LSH candidates or small-to-medium corpora;
-    at full scale run it on minhash_lsh candidates only."""
+    at full scale run it on minhash_lsh candidates only.
+
+    `max_doc_freq` drops STOP-SHINGLES — shingles appearing in more than
+    that many documents — before the self-join (one cheap groupBy + a
+    broadcast anti-join; the hot set is small by construction). Without it a
+    corpus-ubiquitous trigram makes one quadratic join bucket: the pair
+    count of a shingle with document frequency f is f·(f−1)/2. Jaccard is
+    then computed over the RETAINED shingle universe (per-doc sizes
+    recomputed after the filter), i.e. standard stop-word-removed
+    similarity — deterministic and mirrored exactly by the SQL oracle."""
     # sort before capping: "the max_shingles smallest shingle hashes" is a
     # deterministic, engine-independent subset (array_distinct order is not)
     sh = F.slice(F.array_sort(_shingles(F.col(text_col), k_shingle, hash_fn)), 1, max_shingles_per_doc)
@@ -244,6 +254,18 @@ def ngram_jaccard_pairs(
         "_n", F.size("_sh")
     )
     ex = base.select(id_col, "_n", F.explode("_sh").alias("_s"))
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_s")
+        )
+        ex = ex.join(F.broadcast(hot), "_s", "left_anti")
+        # per-doc sizes over the retained universe (one extra exploded-volume
+        # shuffle — only paid when the stop-shingle cap is requested)
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n2"))
+        ex = ex.drop("_n").join(sizes, id_col).withColumnRenamed("_n2", "_n")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

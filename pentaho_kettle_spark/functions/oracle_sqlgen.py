@@ -114,14 +114,31 @@ def ngram_jaccard_sql(
     min_jaccard: float = 0.2,
     max_shingles_per_doc: int = 512,
     id_filter: str = "doc_id < 200",
+    max_doc_freq: int | None = None,
 ) -> str:
+    if max_doc_freq is None:
+        ex_cte = "ex AS (SELECT doc_id, len(shc) AS n, unnest(shc) AS s FROM capped)"
+    else:
+        # mirror the engine's stop-shingle cap: drop shingles with document
+        # frequency > max_doc_freq, then recompute per-doc sizes over the
+        # retained universe
+        ex_cte = f"""ex0 AS (SELECT doc_id, unnest(shc) AS s FROM capped),
+        kept AS (
+          SELECT doc_id, s FROM ex0
+          WHERE s NOT IN (
+            SELECT s FROM ex0 GROUP BY s HAVING count(*) > {max_doc_freq})),
+        ex AS (
+          SELECT k.doc_id, sz.n, k.s
+          FROM kept k
+          JOIN (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id) sz
+            ON k.doc_id = sz.doc_id)"""
     return f"""
         WITH {_shingle_cte(k_shingle)},
         capped AS (
           SELECT doc_id,
                  list_sort(shingles)[1:{max_shingles_per_doc}] AS shc
           FROM sh WHERE {id_filter}),
-        ex AS (SELECT doc_id, len(shc) AS n, unnest(shc) AS s FROM capped),
+        {ex_cte},
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
                  count(*) AS i

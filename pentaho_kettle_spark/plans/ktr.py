@@ -475,6 +475,43 @@ def _b_janino(spark, step, inputs):
     return df
 
 
+def _b_script_values_mod(spark, step, inputs):
+    """Modified Java Script Value — scriptvalues_mod/ScriptValuesMod.java
+    (SURVEY §2.7). The compilable subset (`var NAME = EXPR;` lines — see
+    plans/jsexpr.py for the full grammar) becomes native Catalyst
+    expressions, which is FASTER than the reference's per-row Rhino
+    interpreter; scripts outside the subset raise with the offending line so
+    the user knows to port them to operators/scripting.py script_values
+    (the mapInPandas general path). Only the declared <fields> become output
+    columns (Kettle contract); each is cast to its declared type, and
+    <rename> names the output."""
+    from pentaho_kettle_spark.plans.jsexpr import compile_script
+    from pentaho_kettle_spark.types import KETTLE_TO_SPARK
+
+    df = _single(inputs)
+    e = step.elem
+    scripts = [
+        _txt(js, "jsScript_script") or ""
+        for js in e.findall("jsScripts/jsScript")
+        if (_txt(js, "jsScript_type", "0") or "0") == "0"  # 0 = transform script
+    ]
+    env = compile_script("\n".join(scripts))
+    for f in e.findall("fields/field"):
+        name = _txt(f, "name")
+        out = _txt(f, "rename") or name
+        if name not in env:
+            raise ValueError(
+                f"ScriptValuesMod '{step.name}': declared field {name!r} is "
+                "not assigned in the script"
+            )
+        col = env[name]
+        ktype = _txt(f, "type")
+        if ktype and ktype in KETTLE_TO_SPARK:
+            col = col.cast(KETTLE_TO_SPARK[ktype])
+        df = df.withColumn(out, col)
+    return df
+
+
 def _b_formula(spark, step, inputs):
     df = _single(inputs)
     for f in step.elem.findall("fields/field"):
@@ -1044,6 +1081,9 @@ BUILDERS = {
     "SetValueField": _b_set_value_field,
     "CheckSum": _b_checksum,
     "Janino": _b_janino,
+    # both spellings appear in the wild (plugin id vs. class name)
+    "ScriptValueMod": _b_script_values_mod,
+    "ScriptValuesMod": _b_script_values_mod,
     "Formula": _b_formula,
     "MergeRows": _b_merge_rows,
     "JoinRows": _b_join_rows,

@@ -47,28 +47,52 @@ class CompactionPolicy:
     max_delta_files: int | None = 8
     max_delta_row_share: float | None = None  # delta rows / total rows in bucket
     max_buckets_per_cycle: int | None = None
+    # MAJOR folds (rewrite the whole bucket) only when the deltas amount to
+    # at least this share of the bucket — below it the due bucket gets a
+    # MINOR fold (merge deltas into one delta file, base untouched:
+    # ParquetSnapshotTableIO.compact_minor). A big bucket with a trickle of
+    # deltas then costs O(delta rows) per fold instead of re-reading and
+    # rewriting its base every cycle — the base-read traffic is what made
+    # 32-stream drain folds memory-bandwidth-bound. None = always major.
+    major_min_delta_share: float | None = None
 
-    def buckets_due(self, manifest: dict) -> list[int]:
-        due: list[tuple[int, int, int]] = []  # (n_deltas, delta_rows, bucket)
+    def plan(self, manifest: dict) -> dict[str, list[int]]:
+        """{'major': [...], 'minor': [...]} buckets due, urgency-ranked."""
+        major: list[tuple[int, int, int]] = []  # (n_deltas, delta_rows, bucket)
+        minor: list[int] = []
         for b, entries in manifest.get("files", {}).items():
             deltas = [e for e in entries if e.get("kind") == "delta"]
             if not deltas:
                 continue
+            total = sum(e["rows"] for e in entries) or 1
+            drows = sum(e["rows"] for e in deltas)
+            share = drows / total
             urgent = (
                 self.max_delta_files is not None
                 and len(deltas) > self.max_delta_files
+            ) or (
+                self.max_delta_row_share is not None
+                and share > self.max_delta_row_share
             )
-            if not urgent and self.max_delta_row_share is not None:
-                total = sum(e["rows"] for e in entries) or 1
-                share = sum(e["rows"] for e in deltas) / total
-                urgent = share > self.max_delta_row_share
-            if urgent:
-                due.append((len(deltas), sum(e["rows"] for e in deltas), int(b)))
-        due.sort(reverse=True)  # most deltas / most delta rows first
-        picked = [b for _, _, b in due]
+            if not urgent:
+                continue
+            if (
+                self.major_min_delta_share is not None
+                and share < self.major_min_delta_share
+            ):
+                if len(deltas) > 1:  # merging one file is a no-op
+                    minor.append(int(b))
+            else:
+                major.append((len(deltas), drows, int(b)))
+        major.sort(reverse=True)  # most deltas / most delta rows first
+        picked = [b for _, _, b in major]
         if self.max_buckets_per_cycle is not None:
             picked = picked[: self.max_buckets_per_cycle]
-        return sorted(picked)
+        return {"major": sorted(picked), "minor": sorted(minor)}
+
+    def buckets_due(self, manifest: dict) -> list[int]:
+        p = self.plan(manifest)
+        return sorted(p["major"] + p["minor"])
 
 
 def run_compaction_cycle(
@@ -80,10 +104,13 @@ def run_compaction_cycle(
     m = table.current_manifest()
     if m is None:
         return []
-    due = policy.buckets_due(m)
-    if not due:
-        return []
-    return table.compact(buckets=due)
+    p = policy.plan(m)
+    done: list[int] = []
+    if p["minor"]:
+        done += table.compact_minor(buckets=p["minor"])
+    if p["major"]:
+        done += table.compact(buckets=p["major"])
+    return sorted(set(done))
 
 
 class CompactionScheduler:

@@ -55,6 +55,29 @@ def merge_sql(
     """
 
 
+def create_table_sql(
+    table: str, data_cols_ddl: str, key_col: str, n_buckets: int = 64
+) -> str:
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({data_cols_ddl}, _seq BIGINT) "
+        f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {key_col})) "
+        "TBLPROPERTIES ('write.merge.mode'='copy-on-write', 'format-version'='2')"
+    )
+
+
+def evolve_sql(table: str, action: dict) -> str:
+    """One schema-evolution action → its ALTER TABLE statement (same action
+    dicts ParquetSnapshotTableIO.evolve_schema takes — add/rename/widen)."""
+    kind = action["action"]
+    if kind == "add":
+        return f"ALTER TABLE {table} ADD COLUMN {action['name']} {action['type']}"
+    if kind == "rename":
+        return f"ALTER TABLE {table} RENAME COLUMN {action['from']} TO {action['to']}"
+    if kind == "widen":
+        return f"ALTER TABLE {table} ALTER COLUMN {action['name']} TYPE {action['type']}"
+    raise ValueError(f"unknown schema action {kind!r}")
+
+
 class IcebergTableIO:
     """merge_apply-compatible facade over a real Iceberg table."""
 
@@ -76,14 +99,17 @@ class IcebergTableIO:
 
     def create(self, data_cols_ddl: str, n_buckets: int = 64) -> None:
         self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.table} ({data_cols_ddl}, _seq BIGINT) "
-            f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {self.key_cols[0]})) "
-            "TBLPROPERTIES ('write.merge.mode'='copy-on-write', 'format-version'='2')"
+            create_table_sql(self.table, data_cols_ddl, self.key_cols[0], n_buckets)
         )
 
     def merge_apply(self, changes: DataFrame, batch_id: str | None = None) -> dict:
+        import hashlib
+
         data_cols = [c for c in changes.columns if c not in (*self.key_cols, "op", "_seq")]
-        view = f"_pks_changes_{abs(hash(batch_id)) % 10**8}"
+        # md5, not hash(): str hash is salted per process (PYTHONHASHSEED),
+        # md5 keeps the temp view name stable across driver restarts
+        digest = hashlib.md5(str(batch_id).encode()).hexdigest()[:8]
+        view = f"_pks_changes_{digest}"
         changes.createOrReplaceTempView(view)
         self.spark.sql(merge_sql(self.table, view, self.key_cols, data_cols, self.lww_col))
         self.spark.catalog.dropTempView(view)
@@ -94,15 +120,4 @@ class IcebergTableIO:
 
     def evolve_schema(self, actions: list[dict]) -> None:
         for a in actions:
-            if a["action"] == "add":
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ADD COLUMN {a['name']} {a['type']}"
-                )
-            elif a["action"] == "rename":
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} RENAME COLUMN {a['from']} TO {a['to']}"
-                )
-            elif a["action"] == "widen":
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ALTER COLUMN {a['name']} TYPE {a['type']}"
-                )
+            self.spark.sql(evolve_sql(self.table, a))

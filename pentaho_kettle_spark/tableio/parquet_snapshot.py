@@ -715,6 +715,75 @@ class ParquetSnapshotTableIO:
         self._commit_mutation(_mutate)
         return sorted(target)
 
+    def compact_minor(self, buckets: list[int] | None = None) -> list[int]:
+        """MINOR compaction: merge each bucket's delta files into ONE delta
+        file — WITHOUT reading the base. Reads O(delta rows), not O(bucket
+        rows), so it is the cheap fold for big buckets with small deltas
+        (Hudi's log-file compaction / RocksDB L0→L0 merge analog).
+
+        Correct because the LWW collapse is associative and commutative
+        (max_by over (lww, _seq)): collapsing the deltas among themselves
+        first cannot change which row wins when readers later collapse
+        base ∪ deltas. Tombstones are kept (they must keep suppressing base
+        rows). Read amplification drops from k delta files per bucket to 1;
+        the base rewrite is deferred until a MAJOR fold is actually worth
+        its full-bucket read (CompactionPolicy decides which is due).
+
+        Same RewriteFiles pinning as compact(): delta files appended by a
+        concurrent ingest batch while this ran survive untouched."""
+        m = self.current_manifest()
+        schema = TableSchema(**m["schema"])
+        target = buckets if buckets is not None else [
+            int(b) for b, es in m["files"].items()
+            if sum(1 for e in es if e.get("kind") == "delta") > 1
+        ]
+        # only buckets with ≥2 deltas benefit; folding one file is a no-op
+        target = [
+            b for b in target
+            if sum(
+                1 for e in m["files"].get(str(b), []) if e.get("kind") == "delta"
+            ) > 1
+        ]
+        if not target:
+            return []
+        folded = [
+            e
+            for b, es in m["files"].items()
+            if int(b) in target
+            for e in es
+            if e.get("kind") == "delta"
+        ]
+        folded_paths = {e["path"] for e in folded}
+        df = self._read_files(folded, schema)
+        if df is None:
+            return []
+        collapsed = self._collapse_rows(df, schema.names())
+        new_files = self._write_buckets(collapsed, schema.version, kind="delta")
+
+        def _mutate(cur: dict) -> dict:
+            files = {}
+            for b, es in cur["files"].items():
+                if int(b) in target:
+                    kept = [e for e in es if e["path"] not in folded_paths]
+                    # entry order in the manifest is irrelevant to readers —
+                    # read_full collapses base ∪ deltas by LWW either way
+                    files[b] = new_files.get(b, []) + kept
+                else:
+                    files[b] = list(es)
+            for b, es in new_files.items():
+                if b not in files:
+                    files[b] = list(es)
+            out = dict(cur)
+            out["files"] = files
+            out["lineage"] = [*cur["lineage"], {
+                "mode": "compact_minor", "compacted_buckets": sorted(target),
+                "folded_files": len(folded_paths),
+            }]
+            return out
+
+        self._commit_mutation(_mutate)
+        return sorted(target)
+
     def expire_tombstones(self, watermark=None) -> None:
         """Housekeeping rewrite dropping tombstones.
 

@@ -139,3 +139,61 @@ def test_policy_per_cycle_cap_most_urgent_first():
     assert p.buckets_due(manifest) == [1, 2]
     # uncapped: every bucket over the bound, in bucket order
     assert CompactionPolicy(max_delta_files=2).buckets_due(manifest) == [0, 1, 2]
+
+
+def test_minor_compaction_merges_deltas_base_untouched(spark, tmp_path):
+    """compact_minor: k delta files per bucket become 1 WITHOUT touching the
+    base files (O(delta rows) read, not O(bucket rows)); the visible table
+    is unchanged — LWW collapse is associative, so pre-collapsing deltas
+    cannot change winners."""
+    pdf = gen_changelog(4000, 200, seed=11)
+    table = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "t"), n_buckets=4, write_mode="mor",
+        compact_delta_files=None,
+    )
+    table.init_empty(DATA_SCHEMA)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+    replay_changelog(spark, table, log, n_batches=4, run_id="mn")
+    m0 = table.current_manifest()
+    base_paths = {
+        e["path"] for es in m0["files"].values() for e in es if e["kind"] == "base"
+    }
+    assert any(
+        sum(1 for e in es if e["kind"] == "delta") > 1 for es in m0["files"].values()
+    )
+    done = table.compact_minor()
+    assert done
+    m1 = table.current_manifest()
+    for es in m1["files"].values():
+        assert sum(1 for e in es if e["kind"] == "delta") <= 1
+    # base files carried forward by reference, byte-identical entries
+    assert {
+        e["path"] for es in m1["files"].values() for e in es if e["kind"] == "base"
+    } == base_paths
+    assert m1["lineage"][-1]["mode"] == "compact_minor"
+    _assert_matches_oracle(table, pdf)
+    # a later MAJOR fold on top of the merged deltas is still correct
+    table.compact()
+    _assert_matches_oracle(table, pdf)
+
+
+def test_policy_routes_major_vs_minor():
+    """major_min_delta_share: a big bucket with trickle deltas gets a MINOR
+    fold; a bucket whose deltas rival its base gets the MAJOR rewrite; a
+    single-delta bucket below the share is left alone (merge would no-op)."""
+    manifest = {"files": {
+        # 10k base, 3 tiny deltas → due by count, share 0.0003 → minor
+        "0": [{"kind": "base", "rows": 10000}] + [{"kind": "delta", "rows": 1}] * 3,
+        # small base, heavy deltas → major
+        "1": [{"kind": "base", "rows": 10}] + [{"kind": "delta", "rows": 45}] * 3,
+        # due by count but only ONE delta file over the share cut → skip
+        "2": [{"kind": "base", "rows": 10000}, {"kind": "delta", "rows": 1}],
+        "3": [{"kind": "base", "rows": 1000}],
+    }}
+    p = CompactionPolicy(max_delta_files=0, major_min_delta_share=0.2)
+    plan = p.plan(manifest)
+    assert plan == {"major": [1], "minor": [0]}
+    # without the share knob everything due is major (old behavior)
+    assert CompactionPolicy(max_delta_files=0).plan(manifest) == {
+        "major": [0, 1, 2], "minor": []
+    }

@@ -93,3 +93,50 @@ def test_brute_force_topk_self_is_top1(spark):
     top = brute_force_topk(corpus, queries, k=3)
     best = {r.query_id: r.vec_id for r in top.filter("cosine > 0.9999").collect()}
     assert best == {0: 0, 1: 1}
+
+
+def test_ngram_stop_shingle_cap_bounds_pairs(spark):
+    """Adversarial hot shingle: every doc shares one ubiquitous phrase. The
+    inverted-index self-join would pair every co-occurrence — f·(f−1)/2
+    pairs from that one shingle. max_doc_freq drops it and only genuinely
+    similar docs pair; similarity is then over the retained universe."""
+    from pentaho_kettle_spark.functions.dedup import ngram_jaccard_pairs
+
+    n = 60
+    rows = [
+        # unique body + the corpus-wide phrase "click here to subscribe now"
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} click here to subscribe now")
+        for i in range(n)
+    ]
+    # one true near-dup pair sharing their body too
+    rows.append((n, rows[0][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(
+        df, "text", "doc_id", k_shingle=3, min_jaccard=0.5, max_doc_freq=10
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out}
+    # only the planted duplicate survives; the hot phrase alone pairs nobody
+    assert set(got) == {(0, n)}
+    assert got[(0, n)] == 1.0  # identical retained shingle sets
+    # without the cap, the shared phrase pairs EVERY doc combination above
+    # the threshold 0 — sanity-check the hazard actually exists
+    uncapped = ngram_jaccard_pairs(
+        df, "text", "doc_id", k_shingle=3, min_jaccard=0.01
+    )
+    assert uncapped.count() > n  # quadratic blow-up the cap prevents
+
+
+def test_salted_collapse_plan_is_two_phase(spark):
+    """Plan shape of the driver's cdc_salted_collapse path: exactly TWO
+    exchanges (phase-1 (key,salt) agg + phase-2 key agg) — salting must not
+    add joins/broadcasts, and the hot-key list rides as plan literals."""
+    from pentaho_kettle_spark.plans.explain import count_shuffles
+
+    pdf = gen_changelog(3_000, 150, seed=33)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA).drop("ingest_ts")
+    hot = detect_hot_keys(log, ["conv_id", "turn_idx"], sample_fraction=0.5,
+                          hot_threshold_share=0.005)
+    out = lww_collapse_salted(log, n_salts=8, hot_keys=hot)
+    assert count_shuffles(out) == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # IN-set literal, not a broadcast join

@@ -1,7 +1,11 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, schema
 (column names), and order-insensitive values (exact after the queries' own
-rounding). Usage: python tools/check_oracle.py [name ...]
+rounding). Usage: python tools/check_oracle.py [--json OUT.json] [name ...]
+
+--json writes a per-query attestation artifact ({name: {pass, rows, sec}})
+— committed per round (ORACLE_LOCAL_r{N}.json) so queries rotated out of the
+external gate's 50-entry window still carry machine-checkable evidence.
 """
 
 from __future__ import annotations
@@ -38,8 +42,9 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
 
 
-def main(names: list[str]) -> int:
+def main(names: list[str], json_out: str | None = None) -> int:
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
+    report: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -54,18 +59,23 @@ def main(names: list[str]) -> int:
             got = qs[name](spark, SF).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"pass": False, "err": f"spark: {e}"[:300]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
-            if len(got) == 0 and name != "simhash_candidates":
+            bad = len(got) == 0 and name != "simhash_candidates"
+            if bad:
                 failures.append(name)
                 print(f"FAIL {name}: 0 rows from rows-only query")
+            report[name] = {"pass": not bad, "rows": len(got), "rows_only": True,
+                            "sec": round(time.time() - t0, 1)}
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"pass": False, "err": f"duckdb: {e}"[:300]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         g, w = _normalize(got), _normalize(want)
@@ -81,12 +91,28 @@ def main(names: list[str]) -> int:
                 status.append(f"values: {str(e).splitlines()[-1][:200]}")
         if status:
             failures.append(name)
+            report[name] = {"pass": False, "err": "; ".join(status)[:300]}
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
+            report[name] = {"pass": True, "rows": len(g),
+                            "sec": round(time.time() - t0, 1)}
             print(f"PASS {name} ({len(g)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(targets) - len(failures)}/{len(targets)} passed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf": SF, "total": len(targets),
+                       "passed": len(targets) - len(failures),
+                       "queries": report}, fh, indent=1)
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    raise SystemExit(main(argv, json_out=out))
