@@ -23,6 +23,11 @@ def main() -> None:
     changelog_dir, n_batches, out_json = sys.argv[1], int(sys.argv[2]), sys.argv[4]
     salted: bool | str = "auto" if sys.argv[3] == "auto" else sys.argv[3] == "1"
     mode = sys.argv[5] if len(sys.argv) > 5 else "mor"
+    # argv[6]: major_min_delta_share for the async CompactionPolicy —
+    # "none" (default) = every due bucket majors (round-3 behavior);
+    # a float routes low-share buckets to the cheap minor delta-merge
+    share_arg = sys.argv[6] if len(sys.argv) > 6 else "none"
+    major_share = None if share_arg == "none" else float(share_arg)
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # smaller scan splits: the default 128MB leaves the changelog scan with
@@ -78,7 +83,9 @@ def main() -> None:
     )
     table.init_empty(data_schema)
     sched = CompactionScheduler(
-        table, CompactionPolicy(max_delta_files=4), interval_sec=1.0
+        table,
+        CompactionPolicy(max_delta_files=4, major_min_delta_share=major_share),
+        interval_sec=1.0,
     )
     t0 = time.time()
     sched.start()

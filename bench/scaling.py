@@ -102,7 +102,10 @@ def run_once(cores: int, log_dir: str, batches: int, zip_path: str, tag: str) ->
         "--conf", "spark.ui.enabled=false",
         "--py-files", zip_path,
         os.path.join(REPO, "bench", "replay_job.py"),
-        log_dir, str(batches), "auto", out_json, "mor",
+        # 0.25 = major_min_delta_share: due buckets below 25% delta share get
+        # the minor delta-merge (base untouched) — the round-4 change that
+        # removed the membw-bound late-replay fold spikes at 32 streams
+        log_dir, str(batches), "auto", out_json, "mor", "0.25",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     with open(out_json) as f:

@@ -100,6 +100,41 @@ def parse_kjb(path: str, variables: dict | None = None) -> Job:
     return Job(root.findtext("name") or os.path.basename(path), entries, hops, start)
 
 
+def _simple_eval(elem: ET.Element, vspace) -> bool:
+    """entries/simpleeval/JobEntrySimpleEval.java subset: compare a variable
+    (re-substituted at EVAL time, so values set by an earlier SET_VARIABLES
+    entry are visible) against a compare value under a success condition.
+    Ordered conditions compare numerically when both sides parse as numbers,
+    else lexicographically — matching the reference's number/string modes."""
+    left = vspace.substitute(elem.findtext("variablename") or "")
+    right = vspace.substitute(elem.findtext("comparevalue") or "")
+    cond = (elem.findtext("successcondition") or "equal").lower()
+    if cond == "equal":
+        return left == right
+    if cond == "different":
+        return left != right
+    if cond == "contains":
+        return right in left
+    if cond == "notcontains":
+        return right not in left
+    if cond == "startswith":
+        return left.startswith(right)
+    if cond == "endswith":
+        return left.endswith(right)
+    ordered = {
+        "greaterthan": lambda a, b: a > b,
+        "lesserthan": lambda a, b: a < b,
+        "greaterorequalthan": lambda a, b: a >= b,
+        "lesserorequalthan": lambda a, b: a <= b,
+    }
+    if cond in ordered:
+        try:
+            return ordered[cond](float(left), float(right))
+        except ValueError:
+            return ordered[cond](left, right)
+    raise NotImplementedError(f"SIMPLE_EVAL successcondition {cond!r}")
+
+
 def run_kjb(
     spark: SparkSession,
     path: str,
@@ -171,6 +206,23 @@ def run_kjb(
                     with lock:
                         res.error = f"{current}: {exc}"
                         res.failed_entries.append(current)
+            elif entry.type == "SET_VARIABLES":
+                # entries/setvariables/JobEntrySetVariables.java: mutate the
+                # job's variable space for everything executed AFTER this
+                # entry (already-run entries saw the old values). Values may
+                # themselves reference variables — resolved now, not at
+                # parse (the parse-time pass left unknown ${X} verbatim).
+                with lock:
+                    for f in entry.elem.findall("fields/field"):
+                        n = f.findtext("variable_name")
+                        if n:
+                            vspace.values[n] = vspace.substitute(
+                                f.findtext("variable_value") or ""
+                            )
+            elif entry.type == "SIMPLE_EVAL":
+                # a false evaluation is a ROUTING outcome (failure hops
+                # fire), not an error — it does not join failed_entries
+                ok = _simple_eval(entry.elem, vspace)
             elif entry.type == "SUCCESS":
                 with lock:
                     state["success_entry"] = True

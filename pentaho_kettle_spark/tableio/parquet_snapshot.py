@@ -51,6 +51,32 @@ SYS_DELETED = "_deleted"
 SYS_COLS = (SYS_SEQ, SYS_DELETED)
 
 
+def _del_rows(pf) -> int:
+    """Tombstone count of a just-written parquet file: row-group statistics
+    on the boolean `_deleted` column decide all-live (max=False → 0) and
+    all-deleted (min=True → all) groups without touching data pages; only
+    mixed groups read the bit-packed column."""
+    import pyarrow.compute as pc
+
+    md = pf.metadata
+    idx = pf.schema_arrow.get_field_index(SYS_DELETED)
+    total, mixed = 0, []
+    for g in range(md.num_row_groups):
+        col = md.row_group(g).column(idx)
+        st = col.statistics
+        if st is not None and st.has_min_max:
+            if st.max is False:
+                continue
+            if st.min is True:
+                total += md.row_group(g).num_rows
+                continue
+        mixed.append(g)
+    if mixed:
+        tbl = pf.read_row_groups(mixed, columns=[SYS_DELETED])
+        total += int(pc.sum(tbl[SYS_DELETED]).as_py() or 0)
+    return total
+
+
 class _DuplicateBatch(Exception):
     """Raised inside a commit mutation when the batch id is already
     committed — turns into a skip, making re-delivered epochs no-ops."""
@@ -310,10 +336,17 @@ class ParquetSnapshotTableIO:
                 "_bucket", bucket_expr(self.key_cols[0], self.n_buckets)
             ).repartition(self.n_buckets, "_bucket")
         staged.write.mode("overwrite").partitionBy("_bucket").parquet(outdir)
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        has_del = SYS_DELETED in df.columns
+        # per-file tombstone counts are recorded for DELTA files only — they
+        # are what the MoR lineage metrics sum (Iceberg manifests record the
+        # same per-file delete stats). Deterministic — unlike Observation
+        # metrics, which mis-count under task retry. Base/fold/CoW writes
+        # skip the read-back entirely (nothing consumes their del counts),
+        # and row-group boolean statistics short-circuit the common all-live
+        # / all-deleted files, so the bit-column read happens only for mixed
+        # row groups of (small) delta files.
+        count_del = kind == "delta" and SYS_DELETED in df.columns
         files: dict[str, list[dict]] = {}
         for dirpath, _dirnames, filenames in os.walk(outdir):
             for fn in filenames:
@@ -328,17 +361,8 @@ class ParquetSnapshotTableIO:
                 entry = {"path": os.path.relpath(full, self.root),
                          "schema_version": schema_version, "rows": rows,
                          "kind": kind}
-                if has_del:
-                    # per-file tombstone count, read back from the bit-packed
-                    # _deleted column at write time (Iceberg manifests record
-                    # the same per-file delete stats). Deterministic — unlike
-                    # Observation metrics, which mis-count under task retry —
-                    # and O(1 bit/row) of extra I/O against the local footer
-                    # walk this loop already does.
-                    entry["del_rows"] = int(
-                        pc.sum(pf.read(columns=[SYS_DELETED])[SYS_DELETED]).as_py()
-                        or 0
-                    )
+                if count_del:
+                    entry["del_rows"] = _del_rows(pf)
                 files.setdefault(bucket, []).append(entry)
         return files
 

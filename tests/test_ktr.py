@@ -326,6 +326,35 @@ def test_run_ktr_variable_substitution(spark, tmp_path):
     assert [r.order_id for r in outs["Sorted"].collect()] == [2]
 
 
+def test_kjb_set_variables_and_simple_eval(spark, tmp_path):
+    """SET_VARIABLES mutates the job's variable space for later entries (the
+    TRANS sees MIN_AMOUNT=200 override the .ktr's parameter default);
+    SIMPLE_EVAL routes success/failure hops off a variable comparison
+    re-substituted at eval time."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    (tmp_path / "orders.csv").write_text(
+        "order_id,status,amount\n1,P,100.0\n2,F,250.5\n3,P,80.0\n"
+    )
+    base = {"DATA_DIR": str(tmp_path)}
+    res = run_kjb(
+        spark, os.path.join(FIX, "sample_job_vars.kjb"),
+        variables={**base, "MODE": "quick"},
+    )
+    assert res.success
+    # MIN_AMOUNT=200 came from the SET_VARIABLES entry, not the file default
+    assert [r.order_id for r in res.results["filter"]["Sorted"].collect()] == [2]
+    # quick != full → eval false → failure hop to the DUMMY branch
+    assert "skipped" in res.executed and "full_run" not in res.executed
+
+    res2 = run_kjb(
+        spark, os.path.join(FIX, "sample_job_vars.kjb"),
+        variables={**base, "MODE": "full"},
+    )
+    assert res2.success
+    assert "full_run" in res2.executed and "skipped" not in res2.executed
+
+
 def test_metainject_pure_xml_rewrite():
     """inject() alone (no Spark): scalar path creation + repeating-group
     replacement on a template file."""
