@@ -14,7 +14,10 @@ Supported <type>s (the row-shaping core; connectors map to sources/):
   Normaliser, SwitchCase, Dummy (DUMMY), TextFileOutput, Sequence,
   NumberRange, IfNull, SetValueConstant, SetValueField, CheckSum, Janino,
   Formula, MergeRows, JoinRows, FuzzyMatch, StringOperations, StringCut,
-  FieldSplitter, SplitFieldToRows3, ConcatFields, AnalyticQuery.
+  FieldSplitter, SplitFieldToRows3, ConcatFields, AnalyticQuery,
+  ScriptValueMod/ScriptValuesMod (JS-expression subset via plans/jsexpr.py),
+  GetVariable, Mapping/SimpleMapping/MappingInput/MappingOutput, MetaInject.
+  ${VAR} substitution everywhere via plans/variables.py.
 
 Semantics pins preserved from the reference: FilterRows' two-way routing
 (NULL → false target), GroupBy aggregate type names, SortRows asc/desc
@@ -967,6 +970,33 @@ def _b_mapping(spark, step, inputs):
     return res
 
 
+def _b_get_variables(spark, step, inputs):
+    """Get Variables — getvariable/GetVariableMeta.java: append fields whose
+    values come from the variable space (resolved at parse time by
+    plans/variables.py; a missing variable leaves ${NAME} verbatim, exactly
+    like the reference's environmentSubstitute). With no incoming hop the
+    step emits ONE row of the variables, per the reference."""
+    from pentaho_kettle_spark.types import KETTLE_TO_SPARK
+
+    import pyspark.sql.functions as F
+
+    e = step.elem
+    cols = []
+    for f in e.findall("fields/field"):
+        name = _txt(f, "name")
+        # Spoon writes the value as <variable>${NAME}</variable>; by now the
+        # parse-time pass substituted it, so the text IS the value
+        val = _txt(f, "variable") or ""
+        typ = _txt(f, "type", "String")
+        col = F.lit(val)
+        if typ in KETTLE_TO_SPARK and typ != "String":
+            col = col.cast(KETTLE_TO_SPARK[typ])
+        cols.append(col.alias(name))
+    if inputs:
+        return _single(inputs).select("*", *cols)
+    return spark.range(1).select(*cols)
+
+
 def _b_delay(spark, step, inputs):
     """Delay — delay/Delay.java holds each row for N time units: a rate
     limiter for the reference's push-based row engine. A batch DataFrame
@@ -1080,6 +1110,7 @@ BUILDERS = {
     "SetValueConstant": _b_set_value_constant,
     "SetValueField": _b_set_value_field,
     "CheckSum": _b_checksum,
+    "GetVariable": _b_get_variables,
     "Janino": _b_janino,
     # both spellings appear in the wild (plugin id vs. class name)
     "ScriptValueMod": _b_script_values_mod,

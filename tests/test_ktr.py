@@ -418,3 +418,30 @@ def test_rowgenerator_never_ending_is_streaming(spark):
         q.stop()
     rows = spark.sql("select * from pks_beat_test").collect()
     assert all(r.source == "heartbeat" for r in rows)
+
+
+def test_get_variables_step(spark, tmp_path):
+    """GetVariable step: variables become row fields (typed); with no
+    incoming hop it emits one row."""
+    ktr = """<?xml version="1.0"?><transformation>
+      <info><name>gv</name></info>
+      <parameters>
+        <parameter><name>RUN_ID</name><default_value>r-7</default_value></parameter>
+      </parameters>
+      <step><name>Grid</name><type>DataGrid</type>
+        <fields><field><name>k</name><type>Integer</type></field></fields>
+        <data><line><item>1</item></line><line><item>2</item></line></data>
+      </step>
+      <step><name>Vars</name><type>GetVariable</type>
+        <fields>
+          <field><name>run_id</name><variable>${RUN_ID}</variable><type>String</type></field>
+          <field><name>batch_no</name><variable>${BATCH}</variable><type>Integer</type></field>
+        </fields>
+      </step>
+      <order><hop><from>Grid</from><to>Vars</to><enabled>Y</enabled></hop></order>
+    </transformation>"""
+    p = tmp_path / "gv.ktr"
+    p.write_text(ktr)
+    out = run_ktr(spark, str(p), variables={"BATCH": "42"})["Vars"]
+    rows = out.orderBy("k").collect()
+    assert [(r.k, r.run_id, r.batch_no) for r in rows] == [(1, "r-7", 42), (2, "r-7", 42)]
