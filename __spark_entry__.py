@@ -497,6 +497,49 @@ def _q_cdc_lww_collapse(spark, sf):
     )
 
 
+def _q_event_time_windows(spark, sf):
+    """Event-time TUMBLING window aggregation (SURVEY §2.8 — the capability
+    Kettle never had: its streaming is processing-time buffers only). Runs
+    streaming/windows.py tumbling_window_agg on the events table (the same
+    code path a readStream uses; withWatermark is a no-op in batch). Oracle
+    = DuckDB time_bucket: Spark's window() aligns to the epoch, so a 30-min
+    window's start is ts floored to 30 minutes."""
+    from pentaho_kettle_spark.streaming.windows import tumbling_window_agg
+
+    ev = _t(spark, sf, "events")
+    out = tumbling_window_agg(
+        ev, "ts", "30 minutes", ["event_type"],
+        {"n_events": "count(*)", "sum_value": "sum(value)"},
+    )
+    return out.select(
+        _us("window_start").alias("win_start_us"),
+        _us("window_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        _rnd("sum_value", 4).alias("sum_value"),
+    )
+
+
+def _q_session_windows(spark, sf):
+    """Event-time SESSION windows (gap-based): streaming/windows.py
+    session_window_agg per user; Spark's session = [first event ts, last
+    event ts + gap). Oracle = gaps-and-islands in DuckDB (lag + cumulative
+    sum of new-session flags) — the classic SQL equivalent."""
+    from pentaho_kettle_spark.streaming.windows import session_window_agg
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    out = session_window_agg(
+        ev, "ts", "30 minutes", ["user_id"],
+        {"n_events": "count(*)"},
+    )
+    return out.select(
+        "user_id",
+        _us("session_start").alias("sess_start_us"),
+        _us("session_end").alias("sess_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_cdc_salted_collapse(spark, sf):
     """SKEW-path oracle row (north-rule: "skewed conversation keys ...
     handled with salted repartitioning and two-phase merge-apply"): derive a
@@ -1157,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": _q_fuzzy_match,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_salted_collapse": _q_cdc_salted_collapse,
+        "event_time_windows": _q_event_time_windows,
+        "session_windows": _q_session_windows,
         "ktr_vars_fee": _q_ktr_vars_fee,
         "ngram_jaccard": _q_ngram_jaccard,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
@@ -1181,8 +1226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_group": _q_concat_group,
         "analytic_lag_lead": _q_analytic_lag_lead,
         "cumulative_sum": _q_cumulative_sum,
-        "normaliser_unpivot": _q_normaliser_unpivot,
-        "flattener": _q_flattener,
         "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
         "univariate_stats": _q_univariate_stats,
@@ -1193,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "database_lookup": _q_database_lookup,
         "database_join": _q_database_join,
         # --- rotated tail: r03 driver-green, locally gated this round ---
+        "flattener": _q_flattener,
+        "normaliser_unpivot": _q_normaliser_unpivot,
         "lsh_ann": _q_lsh_ann,
         "embedding_near_dups": _q_embedding_near_dups,
         "text_quality": _q_text_quality,
@@ -1531,6 +1576,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "event_time_windows": """
+            SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS win_start_us,
+                   epoch_us(time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes') AS win_end_us,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value)*10000 + 0.5)/10000 AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "session_windows": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL '30 minutes'
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WHERE user_id < 30),
+            isl AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM e)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS sess_start_us,
+                   epoch_us(max(ts) + INTERVAL '30 minutes') AS sess_end_us,
+                   count(*)::BIGINT AS n_events
+            FROM isl
+            GROUP BY user_id, sess_id
         """,
         "cdc_salted_collapse": """
             WITH e AS (

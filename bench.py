@@ -80,9 +80,10 @@ def _bench_cdc(spark) -> dict:
     out: dict = {"events": n_delivered}
     # headline: merge-on-read ingest, 4 micro-batches, compaction running
     # ASYNC alongside ingest (the sustained deployment shape; drain fold
-    # included in the timed window). Best of two passes: this shared VM has
-    # minute-scale load bursts that can 1.5x a single wall-clock sample
-    # (see BENCH/BASELINE.md); pass 1 doubles as the JIT warm-up.
+    # included in the timed window). Best of three passes: this shared VM
+    # has minute-scale load bursts that can 1.5-3x a single wall-clock
+    # sample (see BENCH/BASELINE.md); pass 1 doubles as the JIT warm-up and
+    # the extra pass keeps one burst from defining the round's number.
     from pentaho_kettle_spark.tableio.compaction import (
         CompactionPolicy,
         CompactionScheduler,
@@ -119,7 +120,7 @@ def _bench_cdc(spark) -> dict:
         return wall, info
 
     walls = []
-    for run in range(2):
+    for run in range(3):
         wall, info = _mor_once(run)
         walls.append(round(wall, 2))
     best = min(walls)
@@ -131,9 +132,9 @@ def _bench_cdc(spark) -> dict:
         **info,
     }
 
-    # comparison: copy-on-write, single batch (full-table merge), best of 2
+    # comparison: copy-on-write, single batch (full-table merge), best of 3
     cow_walls = []
-    for run in range(2):
+    for run in range(3):
         root = tempfile.mkdtemp(prefix="pks_bench_cow_", dir=TMP_BASE)
         table = ParquetSnapshotTableIO(spark, root + "/t", n_buckets=32, write_mode="cow")
         table.init_empty(sch)
