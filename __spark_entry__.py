@@ -661,6 +661,27 @@ def _q_lsh_ann(spark, sf):
     return out.select("query_id", "vec_id", _rnd("cosine", 5).alias("cosine"))
 
 
+def _q_ivf_ann(spark, sf):
+    """IVF coarse-quantizer ANN (the FAISS-IVF-shaped scale path next to
+    LSH): centroid cells as plan literals, n_probe nearest cells per query,
+    exact cosine inside probed cells. Oracle recomputes the identical
+    centroid pick (n_cells lowest-id vectors), assignment argmax, probes,
+    and top-k in DuckDB."""
+    from pentaho_kettle_spark.functions.similarity import ivf_topk
+
+    em = _t(spark, sf, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = em.select("vec_id", to_double.alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, k=5, n_cells=16, n_probe=2)
+    return out.select(
+        "query_id", "vec_id",
+        (F.floor(F.col("cosine") * 100000 + F.lit(0.5)) / 100000).alias("cosine"),
+    )
+
+
 def _q_embedding_near_dups(spark, sf):
     em = _t(spark, sf, "embeddings")
     corpus = em.select(
@@ -1202,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_salted_collapse": _q_cdc_salted_collapse,
         "event_time_windows": _q_event_time_windows,
         "session_windows": _q_session_windows,
+        "ivf_ann": _q_ivf_ann,
         "ktr_vars_fee": _q_ktr_vars_fee,
         "ngram_jaccard": _q_ngram_jaccard,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
@@ -1226,7 +1248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_group": _q_concat_group,
         "analytic_lag_lead": _q_analytic_lag_lead,
         "cumulative_sum": _q_cumulative_sum,
-        "switch_case": _q_switch_case,
         "validator_errors": _q_validator_errors,
         "univariate_stats": _q_univariate_stats,
         "token_count": _q_token_count,
@@ -1236,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "database_lookup": _q_database_lookup,
         "database_join": _q_database_join,
         # --- rotated tail: r03 driver-green, locally gated this round ---
+        "switch_case": _q_switch_case,
         "flattener": _q_flattener,
         "normaliser_unpivot": _q_normaliser_unpivot,
         "lsh_ann": _q_lsh_ann,
@@ -1738,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
             id_filter="doc_id < 200", max_doc_freq=150,
         ),
         "lsh_ann": osql.lsh_ann_sql(k=5, n_planes=6, dim=64),
+        "ivf_ann": osql.ivf_ann_sql(k=5, n_cells=16, n_probe=2),
         "embedding_near_dups": osql.embedding_near_dups_sql(
             min_cosine=0.2, n_planes=6, dim=64
         ),

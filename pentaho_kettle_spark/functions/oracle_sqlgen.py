@@ -282,3 +282,51 @@ def multimodal_features_sql(id_filter: str = "doc_id < 100") -> str:
                TRUE AS decode_ok
         FROM documents WHERE {id_filter}
     """
+
+
+def ivf_ann_sql(
+    k: int = 5, n_cells: int = 16, n_probe: int = 2, query_filter: str = "vec_id < 3"
+) -> str:
+    """DuckDB twin of functions/similarity.ivf_topk with centroids=None:
+    centroids = the n_cells lowest-id corpus vectors (cell id = rank by
+    vec_id), argmax-cosine assignment with ties to the lowest cell, queries
+    probe their n_probe nearest cells, exact cosine inside probed cells."""
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM c ORDER BY vec_id LIMIT {n_cells}),
+        assigned AS (
+          SELECT vec_id, v, cell,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(v, cv)
+                            / (sqrt(list_dot_product(v, v))
+                               * sqrt(list_dot_product(cv, cv))) DESC,
+                            cell) AS rk
+          FROM c CROSS JOIN cent),
+        cb AS (SELECT vec_id, v, cell FROM assigned WHERE rk = 1),
+        qprobe AS (
+          SELECT vec_id AS query_id, v AS qv, cell
+          FROM (SELECT a.vec_id, a.v, a.cell,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY list_dot_product(a.v, cv)
+                                  / (sqrt(list_dot_product(a.v, a.v))
+                                     * sqrt(list_dot_product(cv, cv))) DESC,
+                                  a.cell) AS prk
+                FROM (SELECT c2.vec_id, c2.v, cent.cell, cent.cv
+                      FROM c c2 CROSS JOIN cent
+                      WHERE c2.{query_filter}) a)
+          WHERE prk <= {n_probe}),
+        scored AS (
+          SELECT query_id, cb.vec_id,
+                 list_dot_product(cb.v, qv)
+                   / (sqrt(list_dot_product(cb.v, cb.v))
+                      * sqrt(list_dot_product(qv, qv))) AS cos_raw
+          FROM cb JOIN qprobe USING (cell))
+        SELECT query_id, vec_id, floor(cos_raw * 100000 + 0.5) / 100000 AS cosine
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) <= {k}
+    """

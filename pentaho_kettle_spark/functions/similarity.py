@@ -123,3 +123,84 @@ def lsh_ann_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest CENTROID
+    cell, probe each query's `n_probe` nearest cells, score exactly inside
+    the probed cells. The coarse quantizer is the classic FAISS IVF shape;
+    candidate cost is |corpus|·n_probe/n_cells per query instead of
+    |corpus|.
+
+    Scale design: the centroid list is SMALL (n_cells vectors) and compiles
+    into the plan as literals — assignment is a pure projection (no join,
+    no shuffle beyond the final per-query top-k window), and the
+    cell-equi-join is a broadcast hash join on the tiny probed query set.
+
+    `centroids=None` picks the `n_cells` lowest-id corpus vectors — a
+    deterministic one-round k-means|| init that the DuckDB oracle twin
+    reproduces exactly (functions/oracle_sqlgen.ivf_ann_sql). Production
+    refines with Lloyd iterations (KMeans on a sample) and passes the
+    result in; only centroid QUALITY (recall) changes, never the plan.
+    """
+    if centroids is None:
+        rows = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+        )
+        centroids = [list(map(float, r[1])) for r in rows]
+
+    def _lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def _cell_expr(vec: Column) -> Column:
+        # argmax cosine over centroid literals; ties break to the LOWEST
+        # cell index (array_max on struct(cos, -idx) → max cos, then max -idx)
+        entries = [
+            F.struct(
+                cosine_expr(vec, _lit_vec(c)).alias("c"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+        return -F.array_max(F.array(*entries))["ni"]
+
+    def _probe_expr(vec: Column) -> Column:
+        # the n_probe nearest cells: sort struct(-cos, idx) ascending
+        entries = [
+            F.struct(
+                (-cosine_expr(vec, _lit_vec(c))).alias("nc"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+        ordered = F.sort_array(F.array(*entries))
+        return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["i"])
+
+    cb = _spread(corpus, id_col).withColumn("_cell", _cell_expr(F.col(vec_col)))
+    qb = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+        .withColumn("_cell", F.explode(_probe_expr(F.col("_qv"))))
+    )
+    scored = cb.join(qb, on="_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("_qv")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -140,3 +140,37 @@ def test_salted_collapse_plan_is_two_phase(spark):
     assert count_shuffles(out) == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # IN-set literal, not a broadcast join
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    """IVF ANN: self is always recalled at cosine 1.0 (the query's own cell
+    is its nearest probe), candidates come from an equi-join on cell (no
+    cartesian), and the centroid literals compile into the plan (no extra
+    join for assignment)."""
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from pentaho_kettle_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = corpus.filter(SF.col("vec_id") < 5).select(
+        SF.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, k=3, n_cells=8, n_probe=2)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    assert set(got) == {0, 1, 2, 3, 4}
+    for qid, hits in got.items():
+        assert len(hits) == 3
+        # rank 1 is the query itself at cosine ~1
+        assert hits[0][0] == qid and abs(hits[0][1] - 1.0) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
