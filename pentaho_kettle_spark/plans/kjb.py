@@ -198,9 +198,39 @@ def run_kjb(
                         os.path.dirname(os.path.abspath(path)), fname
                     )
                 try:
-                    out = run_ktr(spark, fname, inputs=inputs, variables=vspace)
+                    from pentaho_kettle_spark.plans.ktr import parse_ktr
+
+                    # Kettle's result-row buffer: the previous TRANS entry's
+                    # 'Copy rows to result' output pre-binds onto every
+                    # 'Get rows from result' step of THIS transformation —
+                    # lazily, so the two transformations compose into one
+                    # Catalyst plan across the job hop
+                    bind = dict(inputs or {})
+                    parsed = parse_ktr(fname, variables=vspace)
+                    from_result = [
+                        s.name for s in parsed.steps.values()
+                        if s.type == "RowsFromResult"
+                    ]
+                    with lock:
+                        prev_rows = state.get("result_rows")
+                    if from_result and prev_rows is None:
+                        raise ValueError(
+                            f"'{current}': transformation reads rows from "
+                            "result but no previous entry copied rows to "
+                            "result"
+                        )
+                    for name in from_result:
+                        bind[name] = prev_rows
+                    out = run_ktr(spark, fname, inputs=bind, variables=vspace)
                     with lock:
                         res.results[current] = out
+                        # a terminal RowsToResult step replaces the buffer
+                        to_result = [
+                            s.name for s in parsed.steps.values()
+                            if s.type == "RowsToResult" and s.name in out
+                        ]
+                        if to_result:
+                            state["result_rows"] = out[to_result[0]]
                 except Exception as exc:  # noqa: BLE001 - failure routes the hop
                     ok = False
                     with lock:

@@ -970,6 +970,28 @@ def _b_mapping(spark, step, inputs):
     return res
 
 
+def _b_rows_to_result(spark, step, inputs):
+    """Copy rows to result — rowstoresult/RowsToResult.java: the stream is
+    published to the JOB's result-row buffer for the next TRANS entry.
+    Identity on data; plans/kjb.py captures this step's output after the
+    transformation runs and pre-binds it onto the next entry's
+    RowsFromResult steps. Lazy end to end: the rows are never collected,
+    the next transformation's plan simply composes on this one."""
+    return _single(inputs)
+
+
+def _b_rows_from_result(spark, step, inputs):
+    """Get rows from result — rowsfromresult/RowsFromResult.java. Outside a
+    job there is nothing to read: run_ktr must pre-bind this step's name
+    (plans/kjb.py does it automatically with the previous TRANS entry's
+    result rows)."""
+    raise NotImplementedError(
+        f"RowsFromResult '{step.name}': no result rows bound — run this "
+        "transformation from a job (run_kjb) after an entry that ends in "
+        "'Copy rows to result', or pre-bind via run_ktr(inputs={name: df})"
+    )
+
+
 def _b_get_variables(spark, step, inputs):
     """Get Variables — getvariable/GetVariableMeta.java: append fields whose
     values come from the variable space (resolved at parse time by
@@ -1102,6 +1124,8 @@ BUILDERS = {
     "Denormaliser": _b_denormaliser,
     "Normaliser": _b_normaliser,
     "SwitchCase": _b_switch_case,
+    "RowsToResult": _b_rows_to_result,
+    "RowsFromResult": _b_rows_from_result,
     "Dummy": _b_dummy,
     "TextFileOutput": _b_text_output,
     "Sequence": _b_sequence,

@@ -445,3 +445,23 @@ def test_get_variables_step(spark, tmp_path):
     out = run_ktr(spark, str(p), variables={"BATCH": "42"})["Vars"]
     rows = out.orderBy("k").collect()
     assert [(r.k, r.run_id, r.batch_no) for r in rows] == [(1, "r-7", 42), (2, "r-7", 42)]
+
+
+def test_kjb_result_rows_chaining(spark):
+    """Copy rows to result → Get rows from result across two TRANS entries:
+    the producer's filtered stream pre-binds onto the consumer's
+    RowsFromResult step, lazily (one composed plan across the job hop)."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_result_rows.kjb"))
+    assert res.success
+    rows = {r.k: r.fee for r in res.results["consume"]["Fee"].collect()}
+    # only the two small rows flowed through; fee = amount * 1.1
+    assert rows == {1: 10.0 * 1.1, 3: 30.0 * 1.1}
+
+
+def test_rows_from_result_without_producer_fails(spark):
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    with pytest.raises(NotImplementedError, match="no result rows bound"):
+        run_ktr(spark, os.path.join(FIX, "result_consumer.ktr"))
