@@ -520,6 +520,28 @@ def _q_event_time_windows(spark, sf):
     )
 
 
+def _q_sliding_windows(spark, sf):
+    """SLIDING event-time windows (window length 1h, slide 30m — each event
+    lands in len/slide = 2 overlapping windows). Oracle replicates Spark's
+    epoch-aligned window starts by fanning each event out over
+    range(len/slide) slide offsets in DuckDB."""
+    from pentaho_kettle_spark.streaming.windows import tumbling_window_agg
+
+    ev = _t(spark, sf, "events")
+    out = tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        {"n_events": "count(*)", "sum_value": "sum(value)"},
+        slide="30 minutes",
+    )
+    return out.select(
+        _us("window_start").alias("win_start_us"),
+        _us("window_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        _rnd("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _q_session_windows(spark, sf):
     """Event-time SESSION windows (gap-based): streaming/windows.py
     session_window_agg per user; Spark's session = [first event ts, last
@@ -1223,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_salted_collapse": _q_cdc_salted_collapse,
         "event_time_windows": _q_event_time_windows,
         "session_windows": _q_session_windows,
+        "sliding_windows": _q_sliding_windows,
         "ivf_ann": _q_ivf_ann,
         "ktr_vars_fee": _q_ktr_vars_fee,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1249,7 +1272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytic_lag_lead": _q_analytic_lag_lead,
         "cumulative_sum": _q_cumulative_sum,
         "validator_errors": _q_validator_errors,
-        "univariate_stats": _q_univariate_stats,
         "token_count": _q_token_count,
         "exact_dedup": _q_exact_dedup,
         "embedding_topk": _q_embedding_topk,
@@ -1257,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "database_lookup": _q_database_lookup,
         "database_join": _q_database_join,
         # --- rotated tail: r03 driver-green, locally gated this round ---
+        "univariate_stats": _q_univariate_stats,
         "switch_case": _q_switch_case,
         "flattener": _q_flattener,
         "normaliser_unpivot": _q_normaliser_unpivot,
@@ -1606,6 +1629,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    floor(sum(value)*10000 + 0.5)/10000 AS sum_value
             FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "sliding_windows": """
+            WITH fan AS (
+              SELECT event_type, value,
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - (r.i * INTERVAL '30 minutes') AS win_start
+              FROM events CROSS JOIN range(2) r(i))
+            SELECT epoch_us(win_start) AS win_start_us,
+                   epoch_us(win_start + INTERVAL '1 hour') AS win_end_us,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value)*10000 + 0.5)/10000 AS sum_value
+            FROM fan
             GROUP BY 1, 2, 3
         """,
         "session_windows": """
