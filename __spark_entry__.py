@@ -1212,6 +1212,287 @@ def _q_streaming_cdc_ingest(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_cdc_checkpoint_resume(spark, sf):
+    """CRASH/RESUME oracle row (north-rule: 'resumable from checkpoint'):
+    replay the derived changelog in four delivery-order batches but STOP
+    after batch 1 (simulated crash), re-open the table from disk with a
+    FRESH handle (new process twin), and re-run the identical replay. The
+    committed-batch manifest skips the two already-applied batches
+    (exactly-once), the remaining two apply, and the final state is the
+    single global LWW collapse — which is what the DuckDB oracle computes.
+    The skip count is asserted, so resume semantics (not just the end
+    state) are part of the verified contract."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import replay_changelog
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("ts").cast("timestamp").alias("ingest_ts"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_resume_corr_", dir=tmp_parent)
+    try:
+        kw = dict(
+            key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        tio = ParquetSnapshotTableIO(spark, root, **kw)
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        lin1 = replay_changelog(
+            spark, tio, ev, n_batches=4, run_id="res", stop_after_batch=1
+        )
+        assert len(lin1) == 2, "crash simulation applied the wrong batch count"
+        # fresh handle = new-process resume: state comes from the on-disk
+        # manifest only, never from the crashed writer's memory
+        tio2 = ParquetSnapshotTableIO(spark, root, **kw)
+        lin2 = replay_changelog(spark, tio2, ev, n_batches=4, run_id="res")
+        skipped = sum(1 for r in lin2 if "skipped_duplicate_batch" in r)
+        assert skipped == 2, f"manifest skipped {skipped} batches, expected 2"
+        tio2.compact()
+        out = tio2.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_time_travel(spark, sf):
+    """TIME TRAVEL oracle row (tableio maintenance, SURVEY §2.1 lake-path
+    bonus): apply four batches (seq % 4), then `read_at` the snapshot taken
+    after batch 1 — the visible table must be the LWW collapse of ONLY the
+    first two batches, which the DuckDB oracle computes from the same
+    seq%4 membership rule. Verifies snapshot isolation + manifest replay,
+    not just the head state."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.lww import lww_collapse
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_tt_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=None,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        sids = []
+        for i in range(4):
+            batch = ev.filter(F.pmod(F.col("seq"), F.lit(4)) == i)
+            collapsed = lww_collapse(
+                batch, key_cols=["user_id", "event_type"], lww_col="ts", seq_col="seq"
+            )
+            tio.merge_apply(collapsed, batch_id=f"tt-b{i}")
+            sids.append(tio.snapshot_id())
+        out = tio.read_at(sids[1]).select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_streaming_stateful_dedup(spark, sf):
+    """STATEFUL STREAMING oracle row (applyInPandasWithState): a changelog
+    with injected re-deliveries (every 7th event of batches 0/1 re-arrives
+    in the next batch with the SAME seq) flows through stateful_seq_dedup
+    keyed (conv_id, turn_idx). Batch order is pinned by landing one file
+    per micro-batch (processAllAvailable between lands), so the kept set is
+    exactly 'seq above the key's high watermark from strictly earlier
+    batches' — which the DuckDB oracle states as a window function. The
+    per-key state value (not just row data) is what survives the batch
+    boundary, so the state machinery itself is hash-verified."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pentaho_kettle_spark.streaming.stateful import stateful_seq_dedup
+
+    base = _t(spark, sf, "events").filter(F.col("event_id") < 20000).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_id").cast("long").alias("seq"),
+        "value",
+        (F.col("event_id") % 3).cast("int").alias("batch"),
+    )
+    dups = base.filter((F.col("seq") % 7 == 0) & (F.col("batch") < 2)).withColumn(
+        "batch", (F.col("batch") + 1).cast("int")
+    )
+    log = base.unionByName(dups)
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_state_corr_", dir=tmp_parent)
+    qname = f"dedup_corr_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{root}/src"
+        os.makedirs(src, exist_ok=True)
+        stream = (
+            spark.readStream
+            .schema("conv_id string, turn_idx int, seq long, value double, batch int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_seq_dedup(stream, ["conv_id", "turn_idx"], "seq")
+        q = (
+            out.writeStream.outputMode("append").format("memory").queryName(qname)
+            .option("checkpointLocation", f"{root}/ck").start()
+        )
+        try:
+            for b in range(3):
+                stage = f"{root}/stage_{b}"
+                log.filter(F.col("batch") == b).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+                part = next(
+                    f for f in os.listdir(stage) if f.endswith(".parquet")
+                )
+                shutil.copy(f"{stage}/{part}", f"{src}/b{b}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = spark.table(qname).select("conv_id", "turn_idx", "seq", "value", "batch")
+        return kept.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_table_compare(spark, sf):
+    """Table Compare (tablecompare/TableCompare.java): merge_rows_diff
+    restricted to the non-identical stream — the error/diff feed a
+    reconciliation job consumes."""
+    v1, v2 = _v1_v2(spark, sf)
+    out = ops.table_compare(v1, v2, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    return out.select("o_orderkey", "o_totalprice", "flagfield")
+
+
+def _q_sort_sequence(spark, sf):
+    """Sort Rows + Add Sequence (SURVEY §2.5 / §2.2): explicit sort then a
+    row_number-style counter — the deterministic (order_by) flavor of
+    AddSequence, matching Kettle's single-stream counter semantics."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") >= 250000.0)
+    srt = ops.sort_rows(o, [("o_totalprice", True), ("o_orderkey", True)])
+    out = ops.add_sequence(
+        srt, "rank_id", order_by=["o_totalprice", "o_orderkey"], start=1
+    )
+    return out.select("o_orderkey", "o_totalprice", "rank_id")
+
+
+def _q_ktr_js_script(spark, sf):
+    """ScriptValuesMod through the driver gate: examples/orders_js.ktr's
+    `var NAME = EXPR;` script (ternary, string methods, Math.floor, %)
+    compiles to native Catalyst expressions via plans/jsexpr.py — the
+    oracle re-states the script in SQL, so the JS translation itself is
+    hash-verified."""
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    o = _t(spark, sf, "orders")
+    outs = run_ktr(
+        spark,
+        os.path.join(_EXAMPLES_DIR, "orders_js.ktr"),
+        inputs={"Orders": o},
+    )
+    return outs["Score"].select("o_orderkey", "o_band", "o_key", "o_score")
+
+
+def _q_row_shaping_chain(spark, sf):
+    """Add Constants → Set Field Value → Null If → If Null → Split Fields
+    as ONE composed pipeline (SURVEY §2.2) — each op is a Catalyst
+    expression, so the whole chain collapses into a single projection over
+    the scan (no materialization between 'steps', unlike the reference's
+    row buffers between step threads)."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    x = ops.add_constants(c, {"src": "crm"})
+    x = ops.set_field_value(x, "segment_copy", from_field="c_mktsegment")
+    x = ops.null_if(x, "c_mktsegment", "BUILDING")
+    x = ops.if_null(x, {"c_mktsegment": "UNKNOWN"})
+    x = ops.split_fields(
+        x, "c_name", "#", ["p_label", "p_num"], drop_source=True
+    )
+    return x.select(
+        "c_custkey", "src", "segment_copy", "c_mktsegment", "p_label", "p_num"
+    )
+
+
+def _q_scripting_chain(spark, sf):
+    """Janino expression + Formula + Execute SQL (SURVEY §2.7): both scalar
+    scripting steps compile to F.expr (zero Python), and the ExecSQL step
+    runs over the resulting temp view — the same rewrite policy the module
+    docstring pins (scripting.py)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 9 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    x = ops.janino_expression(
+        li, "margin", "l_extendedprice * (1 - l_discount) - l_quantity * 10.0"
+    )
+    x = ops.formula(x, "vol", "l_quantity * l_extendedprice")
+    x.createOrReplaceTempView("pks_scripting_chain_v")
+    out = ops.execute_sql(
+        spark,
+        """
+        SELECT l_orderkey, l_linenumber,
+               floor(margin * 100 + 0.5) / 100 AS margin,
+               floor(vol * 100 + 0.5) / 100 AS vol
+        FROM pks_scripting_chain_v
+        """,
+    )
+    return out
+
+
+def _q_grouped_udjc(spark, sf):
+    """UserDefinedJavaClass → grouped_transform (SURVEY §2.7): a per-group
+    pandas transform (rebase `value` on the group's minimum) via
+    applyInPandas — the Arrow-batched rewrite of a custom per-rowset Java
+    step. min (unlike mean) is an exact double on every engine, so the
+    subtraction is bit-identical and no rounding is needed: the grouped
+    path hash-verifies EXACTLY against the SQL window twin."""
+    import pandas as pd
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value")
+
+    def rebase(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["value_dm"] = pdf["value"] - pdf["value"].min()
+        return pdf[["event_id", "user_id", "value_dm"]]
+
+    out = ops.grouped_transform(
+        e, ["user_id"], rebase,
+        "event_id long, user_id long, value_dm double",
+    )
+    return out.select("event_id", "user_id", "value_dm")
+
+
+def _q_script_values_map(spark, sf):
+    """Modified JS Value general path → script_values/mapInPandas (SURVEY
+    §2.7): a 0..N-rows-out batch transform (filter + derived field) — the
+    putRow-loop contract over Arrow batches instead of single rows."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+
+    def shape(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["text"].str.len() >= 200].copy()
+        out["n_chars"] = out["text"].str.len().astype("int64")
+        out["upper_lang"] = out["lang"].str.upper()
+        return out[["doc_id", "n_chars", "upper_lang"]]
+
+    return ops.script_values(d, shape, "doc_id long, n_chars long, upper_lang string")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1225,8 +1506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ORDER CONTRACT: the external gate records only the FIRST 50
         # entries. Window = 13 r02-veterans (their last driver row is two
         # rounds old), every query changed/added this round, the CDC core,
-        # then stable fill; 15 r03-attested stable veterans ride the tail
-        # and are attested by the committed local sweep (ORACLE_LOCAL_r04).
+        # then stable fill; the 27 tail entries are ALL r03-driver-green
+        # veterans (or covered by this round's committed local sweep
+        # artifact ORACLE_LOCAL_r04.json, produced by tools/check_oracle.py
+        # --json over every entry).
 
         "value_mapper": _q_value_mapper,
         "number_range": _q_number_range,
@@ -1248,6 +1531,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_windows": _q_sliding_windows,
         "ivf_ann": _q_ivf_ann,
         "ktr_vars_fee": _q_ktr_vars_fee,
+        "cdc_checkpoint_resume": _q_cdc_checkpoint_resume,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "streaming_stateful_dedup": _q_streaming_stateful_dedup,
+        "table_compare": _q_table_compare,
+        "sort_sequence": _q_sort_sequence,
+        "ktr_js_script": _q_ktr_js_script,
+        "row_shaping_chain": _q_row_shaping_chain,
+        "scripting_chain": _q_scripting_chain,
+        "grouped_udjc": _q_grouped_udjc,
+        "script_values_map": _q_script_values_map,
         "ngram_jaccard": _q_ngram_jaccard,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1268,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_rows": _q_unique_rows,
         "top_k": _q_top_k,
         "group_by_extended": _q_group_by_extended,
+        # --- rotated tail: r03 driver-green, locally gated this round ---
         "concat_group": _q_concat_group,
         "analytic_lag_lead": _q_analytic_lag_lead,
         "cumulative_sum": _q_cumulative_sum,
@@ -1278,7 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calculator_ext": _q_calculator_ext,
         "database_lookup": _q_database_lookup,
         "database_join": _q_database_join,
-        # --- rotated tail: r03 driver-green, locally gated this round ---
         "univariate_stats": _q_univariate_stats,
         "switch_case": _q_switch_case,
         "flattener": _q_flattener,
@@ -1450,6 +1743,61 @@ def oracle_sql() -> dict[str, str]:
                              AND v1.o_orderstatus = v2.o_orderstatus THEN 'identical'
                         ELSE 'changed' END AS flagfield
             FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        """,
+        "table_compare": """
+            WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                        WHERE o_orderkey % 50 <> 3),
+                 v2 AS (SELECT o_orderkey,
+                               CASE WHEN o_orderkey % 7 = 0 THEN floor(o_totalprice * 1.1*100 + 0.5)/100
+                                    ELSE o_totalprice END AS o_totalprice,
+                               o_orderstatus
+                        FROM orders WHERE o_orderkey % 37 <> 5),
+                 d AS (
+            SELECT coalesce(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+                   coalesce(v2.o_totalprice, v1.o_totalprice) AS o_totalprice,
+                   CASE WHEN v1.o_orderkey IS NULL THEN 'new'
+                        WHEN v2.o_orderkey IS NULL THEN 'deleted'
+                        WHEN v1.o_totalprice = v2.o_totalprice
+                             AND v1.o_orderstatus = v2.o_orderstatus THEN 'identical'
+                        ELSE 'changed' END AS flagfield
+            FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+            SELECT * FROM d WHERE flagfield <> 'identical'
+        """,
+        "sort_sequence": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank_id
+            FROM orders WHERE o_totalprice >= 250000.0
+        """,
+        "row_shaping_chain": """
+            SELECT c_custkey, 'crm' AS src, c_mktsegment AS segment_copy,
+                   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS c_mktsegment,
+                   split_part(c_name, '#', 1) AS p_label,
+                   split_part(c_name, '#', 2) AS p_num
+            FROM customer
+        """,
+        "scripting_chain": """
+            SELECT l_orderkey, l_linenumber,
+                   floor((l_extendedprice * (1 - l_discount) - l_quantity * 10.0) * 100 + 0.5) / 100 AS margin,
+                   floor((l_quantity * l_extendedprice) * 100 + 0.5) / 100 AS vol
+            FROM lineitem WHERE l_orderkey % 9 = 0
+        """,
+        "grouped_udjc": """
+            SELECT event_id, user_id,
+                   value - min(value) OVER (PARTITION BY user_id) AS value_dm
+            FROM events
+        """,
+        "script_values_map": """
+            SELECT doc_id, length(text)::BIGINT AS n_chars, upper(lang) AS upper_lang
+            FROM documents WHERE length(text) >= 200
+        """,
+        "ktr_js_script": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 200000.0 THEN 'jumbo'
+                        WHEN o_totalprice > 100000.0 THEN 'big'
+                        ELSE 'small' END AS o_band,
+                   trim(upper(o_orderpriority)) AS o_key,
+                   (floor(o_totalprice / 1000.0) + o_orderkey % 7)::BIGINT AS o_score
+            FROM orders
         """,
         "unique_rows": """
             SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
@@ -1787,6 +2135,47 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
             FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # resume replays the full log exactly once -> same global collapse
+        "cdc_checkpoint_resume": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # snapshot after batch 1 = collapse of batches 0 and 1 (seq%4 <= 1)
+        "cdc_time_travel": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 4 <= 1)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # kept = seq above the key's high watermark from strictly earlier
+        # micro-batches (the applyInPandasWithState contract); re-deliveries
+        # (same seq, next batch) always fall at-or-below it
+        "streaming_stateful_dedup": """
+            WITH log AS (
+              SELECT user_id::VARCHAR AS conv_id, (event_id % 50)::INT AS turn_idx,
+                     event_id::BIGINT AS seq, value, (event_id % 3)::INT AS batch
+              FROM events WHERE event_id < 20000
+              UNION ALL
+              SELECT user_id::VARCHAR, (event_id % 50)::INT,
+                     event_id::BIGINT, value, ((event_id % 3) + 1)::INT
+              FROM events
+              WHERE event_id < 20000 AND event_id % 7 = 0 AND event_id % 3 < 2),
+            w AS (
+              SELECT *, COALESCE(MAX(seq) OVER (
+                          PARTITION BY conv_id, turn_idx ORDER BY batch
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) AS hw
+              FROM log)
+            SELECT conv_id, turn_idx, seq, value, batch FROM w WHERE seq > hw
         """,
         "minhash_dedup": osql.minhash_keep_sql(num_hashes=32, bands=8, k_shingle=5),
         "simhash_candidates": osql.simhash_candidates_sql(

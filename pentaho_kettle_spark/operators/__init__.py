@@ -65,6 +65,7 @@ from pentaho_kettle_spark.operators.row_shaping import (  # noqa: F401
     value_mapper,
 )
 from pentaho_kettle_spark.operators.scripting import (  # noqa: F401
+    execute_sql,
     formula,
     grouped_transform,
     janino_expression,

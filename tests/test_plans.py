@@ -104,3 +104,39 @@ def test_ktr_mapping_adds_no_shuffle(spark):
     assert count_shuffles(out) == 0
     cols = read_schema_columns(out)
     assert set(cols) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+
+
+def test_row_shaping_chain_fuses_to_scan(spark):
+    """Five chained row-shaping 'steps' must collapse into one projection
+    over the scan: zero shuffles, and only the referenced columns read."""
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    x = ops.add_constants(c, {"src": "crm"})
+    x = ops.set_field_value(x, "segment_copy", from_field="c_mktsegment")
+    x = ops.null_if(x, "c_mktsegment", "BUILDING")
+    x = ops.if_null(x, {"c_mktsegment": "UNKNOWN"})
+    x = ops.split_fields(x, "c_name", "#", ["p_label", "p_num"], drop_source=True)
+    out = x.select("c_custkey", "src", "segment_copy", "c_mktsegment", "p_label")
+    assert count_shuffles(out) == 0
+    cols = read_schema_columns(out)
+    assert "c_acctbal" not in cols  # pruned: projected away before the sink
+    assert set(cols) <= {"c_custkey", "c_mktsegment", "c_name"}
+
+
+def test_js_script_ktr_stays_jvm_side(spark):
+    """ScriptValuesMod via jsexpr compiles to Catalyst expressions: no
+    Python evaluator node (mapInPandas/BatchEvalPython) in the plan."""
+    import os
+
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    ktr = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "orders_js.ktr",
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    outs = run_ktr(spark, ktr, inputs={"Orders": o})
+    plan = outs["Score"]._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert count_shuffles(outs["Score"]) == 0
