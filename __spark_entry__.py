@@ -1493,6 +1493,85 @@ def _q_script_values_map(spark, sf):
     return ops.script_values(d, shape, "doc_id long, n_chars long, upper_lang string")
 
 
+def _q_debezium_parse(spark, sf):
+    """Kafka/Debezium changelog source (sources/kafka.py): events are
+    wrapped into Debezium envelopes (op c/u/d, before/after row images,
+    source.lsn) as JSON bytes in Kafka wire shape, then parsed back to
+    CHANGELOG_SCHEMA by parse_debezium_envelope — all JVM-side from_json,
+    no broker needed. The DuckDB oracle reconstructs the expected changelog
+    rows directly from the same derivation rules, so the envelope parsing
+    (op mapping, delete-image selection, ISO-ts round trip) is
+    hash-verified."""
+    from pentaho_kettle_spark.sources.kafka import parse_debezium_envelope
+
+    e = _t(spark, sf, "events")
+    img = F.struct(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 500).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.date_format(
+            F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("ts"),
+    )
+    dbz_op = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("c"))
+        .when(F.col("event_id") % 3 == 1, F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            dbz_op.alias("op"),
+            img.alias("before"),
+            img.alias("after"),
+            F.struct(
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.col("event_id").cast("long").alias("lsn"),
+            ).alias("source"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+    raw = e.select(
+        envelope.cast("binary").alias("value"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+    )
+    out = parse_debezium_envelope(raw)
+    return out.select(
+        "seq", "op", "conv_id", "turn_idx", "role", "text",
+        _us("ts").alias("ts_us"),
+    )
+
+
+def _q_csv_roundtrip(spark, sf):
+    """CSV file output → CSV file input round trip (SURVEY §2.1
+    TextFileOutput + CsvInput): a distributed multi-part delimited export
+    re-read under an explicit schema must reproduce the source exactly
+    (Spark's double formatter is round-trip-precise). The oracle is the
+    original projection."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.sources.files import csv_input, csv_output
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_csv_corr_", dir=tmp_parent)
+    try:
+        csv_output(o, f"{root}/csv", header=True, delimiter="|")
+        back = csv_input(
+            spark, f"{root}/csv",
+            schema="o_orderkey bigint, o_orderstatus string, "
+                   "o_orderpriority string, o_totalprice double",
+            delimiter="|",
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1541,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scripting_chain": _q_scripting_chain,
         "grouped_udjc": _q_grouped_udjc,
         "script_values_map": _q_script_values_map,
+        "debezium_parse": _q_debezium_parse,
+        "csv_roundtrip": _q_csv_roundtrip,
         "ngram_jaccard": _q_ngram_jaccard,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1559,9 +1640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "merge_rows_diff": _q_merge_rows_diff,
         "unique_rows": _q_unique_rows,
+        # --- rotated tail: r03 driver-green, locally gated this round ---
         "top_k": _q_top_k,
         "group_by_extended": _q_group_by_extended,
-        # --- rotated tail: r03 driver-green, locally gated this round ---
         "concat_group": _q_concat_group,
         "analytic_lag_lead": _q_analytic_lag_lead,
         "cumulative_sum": _q_cumulative_sum,
@@ -1789,6 +1870,24 @@ def oracle_sql() -> dict[str, str]:
         "script_values_map": """
             SELECT doc_id, length(text)::BIGINT AS n_chars, upper(lang) AS upper_lang
             FROM documents WHERE length(text) >= 200
+        """,
+        # the oracle reconstructs the changelog rows the Debezium envelopes
+        # must parse back to: op c->I / u->U / d->D, image fields, lsn=seq
+        "debezium_parse": """
+            SELECT event_id::BIGINT AS seq,
+                   CASE WHEN event_id % 3 = 0 THEN 'I'
+                        WHEN event_id % 3 = 1 THEN 'U'
+                        ELSE 'D' END AS op,
+                   user_id::VARCHAR AS conv_id,
+                   (event_id % 500)::INT AS turn_idx,
+                   event_type AS role,
+                   props AS text,
+                   epoch_us(ts) AS ts_us
+            FROM events
+        """,
+        "csv_roundtrip": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM orders
         """,
         "ktr_js_script": """
             SELECT o_orderkey,
