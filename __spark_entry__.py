@@ -1572,6 +1572,34 @@ def _q_csv_roundtrip(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_kjb_parallel_job(spark, sf):
+    """Job orchestration (.kjb) through the driver gate (SURVEY §2.9,
+    Job.java + JobEntryTrans.java): examples/orders_job.kjb sets
+    ${MIN_TOTAL} via SET_VARIABLES, runs a filter transformation that
+    copies rows to the job result buffer, gates on SIMPLE_EVAL, then a
+    parallel DUMMY (launchingInParallel) fans out TWO fee transformations
+    that each read the buffer (RowsFromResult). The query unions the two
+    branch aggregates; the oracle hard-codes the variable-set threshold and
+    both fee formulas, so the variable override, result-row chaining, and
+    the parallel launcher are all hash-verified."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    o = _t(spark, sf, "orders")
+    res = run_kjb(
+        spark,
+        os.path.join(_EXAMPLES_DIR, "orders_job.kjb"),
+        inputs={"Orders": o},
+    )
+    assert res.success and not res.failed_entries, res.error
+    urgent = res.results["urgent_fee"]["Agg"]
+    other = res.results["other_fee"]["Agg"]
+    return urgent.unionByName(other).select(
+        "o_orderpriority",
+        _rnd("sum_fee", 2).alias("sum_fee"),
+        "n_orders",
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1622,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_values_map": _q_script_values_map,
         "debezium_parse": _q_debezium_parse,
         "csv_roundtrip": _q_csv_roundtrip,
+        "kjb_parallel_job": _q_kjb_parallel_job,
         "ngram_jaccard": _q_ngram_jaccard,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1702,6 +1731,21 @@ def oracle_sql() -> dict[str, str]:
                    floor((o_totalprice + o_totalprice * 2.5 / 100)*100 + 0.5)/100 AS o_fee
             FROM orders
             WHERE o_totalprice >= 150000.0
+        """,
+        "kjb_parallel_job": """
+            SELECT o_orderpriority,
+                   floor(sum(o_totalprice + o_totalprice * 2.0 / 100)*100 + 0.5)/100 AS sum_fee,
+                   count(o_orderkey) AS n_orders
+            FROM orders
+            WHERE o_totalprice >= 140000.0 AND o_orderpriority < '3'
+            GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority,
+                   floor(sum(o_totalprice - o_totalprice * 1.0 / 100)*100 + 0.5)/100 AS sum_fee,
+                   count(o_orderkey) AS n_orders
+            FROM orders
+            WHERE o_totalprice >= 140000.0 AND o_orderpriority >= '3'
+            GROUP BY o_orderpriority
         """,
         "ktr_mapping_fee": """
             SELECT o_orderkey, o_totalprice, o_orderpriority,
