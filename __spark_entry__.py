@@ -1094,6 +1094,92 @@ def _q_cdc_schema_evolution(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_incremental_read(spark, sf):
+    """INCREMENTAL CHANGES-READ oracle row (Iceberg changelog scan / Delta
+    CDF analog — Kettle's nearest step is MergeRows(diff), SURVEY §2.3,
+    computed here from manifest metadata instead of two full scans): replay
+    batch A (seq%3==0) to snapshot `a`, then batches B and C;
+    `read_changes(a)` emits the NET insert/update/delete per key between
+    the endpoints — after-image for insert/update, before-image for delete
+    — reading only the buckets the interval touched. The DuckDB oracle
+    recomputes both endpoint states as windowed winners (subset vs full
+    log) and classifies with a full outer join."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_incr_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        apply_batch(tio, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == 0), batch_id="inc-a")
+        snap_a = tio.snapshot_id()
+        for i in (1, 2):
+            apply_batch(
+                tio, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_id=f"inc-b{i}"
+            )
+        out = tio.read_changes(snap_a).select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us"), "_change_type"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_type_widen(spark, sf):
+    """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
+    to the table): batch A lands `value` truncated to INT, so the table
+    schema records int; batch B arrives with DOUBLE `value` —
+    plan_evolution emits a widen action and the old int files are read
+    back cast to double by field id. The per-key winner is either A's
+    truncated int (as double) or B's exact double; the oracle reproduces
+    the truncation with trunc() (Spark ANSI cast double→int truncates
+    toward zero, DuckDB's bare cast rounds)."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_widen_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        b_a = ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 0).withColumn(
+            "value", F.col("value").cast("int")
+        )
+        tio.init_empty(b_a.select("user_id", "event_type", "value", "ts").schema)
+        apply_batch(tio, b_a, batch_id="wid-a")
+        assert [f["type"] for f in tio.schema().fields if f["name"] == "value"] == ["int"]
+        apply_batch(tio, ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 1), batch_id="wid-b")
+        assert [f["type"] for f in tio.schema().fields if f["name"] == "value"] == ["double"]
+        out = tio.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_lineage_metrics(spark, sf):
     """LINEAGE/METRICS oracle row (north-rule: 'per-partition lineage +
     metrics'): replay the derived changelog in four MoR batches, then
@@ -1654,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_incremental_read": _q_cdc_incremental_read,
+        "cdc_type_widen": _q_cdc_type_widen,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
         "cdc_merge_apply": _q_cdc_merge_apply,
         "insert_update_delete": _q_insert_update_delete,
@@ -2268,6 +2356,57 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
             SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        "cdc_incremental_read": """
+            WITH wa AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 = 0),
+            a AS (SELECT user_id, event_type, value, ts,
+                         (event_id % 11 <> 0) AS live
+                  FROM wa WHERE rn = 1),
+            wb AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events),
+            b AS (SELECT user_id, event_type, value, ts,
+                         (event_id % 11 <> 0) AS live
+                  FROM wb WHERE rn = 1),
+            j AS (
+              SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                     coalesce(a.event_type, b.event_type) AS event_type,
+                     a.value AS av, a.ts AS ats, coalesce(a.live, FALSE) AS alive,
+                     b.value AS bv, b.ts AS bts, coalesce(b.live, FALSE) AS blive
+              FROM a FULL OUTER JOIN b
+                ON a.user_id = b.user_id AND a.event_type = b.event_type),
+            c AS (
+              SELECT *,
+                     CASE WHEN NOT alive AND blive THEN 'insert'
+                          WHEN alive AND NOT blive THEN 'delete'
+                          WHEN alive AND blive AND (av IS DISTINCT FROM bv
+                               OR ats IS DISTINCT FROM bts) THEN 'update'
+                     END AS ct
+              FROM j)
+            SELECT user_id, event_type,
+                   CASE WHEN ct = 'delete' THEN av ELSE bv END AS value,
+                   epoch_us(CASE WHEN ct = 'delete' THEN ats ELSE bts END) AS ts_us,
+                   ct AS _change_type
+            FROM c WHERE ct IS NOT NULL
+        """,
+        "cdc_type_widen": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type,
+                   CASE WHEN event_id % 2 = 0
+                        THEN CAST(CAST(trunc(value) AS INTEGER) AS DOUBLE)
+                        ELSE value END AS value,
+                   epoch_us(ts) AS ts_us
             FROM win WHERE rn = 1 AND event_id % 11 <> 0
         """,
         "cdc_merge_apply": """

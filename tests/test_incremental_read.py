@@ -1,0 +1,135 @@
+"""Incremental changes-read (Iceberg changelog scan analog):
+read_changes(a, b) = net insert/update/delete between two snapshots,
+reading only the buckets the interval touched."""
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path, **kw):
+    t = ParquetSnapshotTableIO(
+        spark,
+        str(tmp_path / "t"),
+        key_cols=("conv_id", "turn_idx"),
+        lww_col="ts",
+        n_buckets=4,
+        **kw,
+    )
+    t.init_empty(SCHEMA)
+    return t
+
+
+def _batch(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [
+            (c, i, x, base + dt.timedelta(seconds=s), s, op)
+            for (c, i, x, s, op) in rows
+        ],
+        "conv_id string, turn_idx int, text string, ts timestamp, seq long, op string",
+    )
+
+
+def _apply(t, b, bid):
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+
+    apply_batch(t, b, batch_id=bid)
+
+
+def test_insert_update_delete_classification(spark, tmp_path):
+    t = _mk(spark, tmp_path, write_mode="mor")
+    _apply(t, _batch(spark, [("a", 1, "hi", 1, "U"), ("b", 1, "yo", 2, "U")]), "b1")
+    snap_a = t.snapshot_id()
+    _apply(
+        t,
+        _batch(
+            spark,
+            [
+                ("a", 1, "hi2", 10, "U"),  # update
+                ("b", 1, None, 11, "D"),  # delete
+                ("c", 9, "new", 12, "U"),  # insert
+            ],
+        ),
+        "b2",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["_change_type"], r["text"])
+        for r in t.read_changes(snap_a).collect()
+    }
+    assert got == {
+        ("a", 1): ("update", "hi2"),
+        ("b", 1): ("delete", "yo"),  # before-image for deletes
+        ("c", 9): ("insert", "new"),
+    }
+
+
+def test_compaction_only_interval_is_empty_and_same_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path, write_mode="mor", compact_delta_files=1)
+    _apply(t, _batch(spark, [("a", 1, "x", 1, "U"), ("b", 2, "y", 2, "U")]), "b1")
+    _apply(t, _batch(spark, [("a", 1, "x2", 3, "U")]), "b2")
+    snap_a = t.snapshot_id()
+    t.compact()  # rewrites files, zero state change
+    assert t.snapshot_id() > snap_a
+    assert t.read_changes(snap_a).count() == 0
+    assert t.read_changes(snap_a, snap_a).count() == 0
+
+
+def test_bucket_pruning_reads_only_touched_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path, write_mode="mor")
+    rows = [(f"c{i}", 1, "v", i + 1, "U") for i in range(40)]
+    _apply(t, _batch(spark, rows), "b1")
+    snap_a = t.snapshot_id()
+    _apply(t, _batch(spark, [("c0", 1, "v2", 100, "U")]), "b2")
+    m_a, m_b = t.manifest_at(snap_a), t.current_manifest()
+    changed = t._changed_buckets(m_a, m_b)
+    # one key was touched -> exactly its bucket changed, not all 4
+    assert len(changed) == 1
+    ch = t.read_changes(snap_a).collect()
+    assert [(r["conv_id"], r["_change_type"], r["text"]) for r in ch] == [
+        ("c0", "update", "v2")
+    ]
+
+
+def test_schema_evolution_across_interval_is_not_delete_insert(spark, tmp_path):
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+
+    t = _mk(spark, tmp_path, write_mode="mor")
+    _apply(t, _batch(spark, [("a", 1, "hello", 1, "U")]), "b1")
+    snap_a = t.snapshot_id()
+    # rename text->body and add tool; only key "a" gets a new row
+    b2 = (
+        _batch(spark, [("a", 1, "hello", 5, "U")])
+        .withColumnRenamed("text", "body")
+        .withColumn("tool", F.lit("bash"))
+    )
+    apply_batch(t, b2, batch_id="b2", rename_hints={"text": "body"})
+    ch = t.read_changes(snap_a).collect()
+    # same body value under the new name, tool added -> ONE update (the
+    # old file was reconciled by field id, not treated as a delete)
+    assert len(ch) == 1
+    r = ch[0]
+    assert (r["_change_type"], r["body"], r["tool"]) == ("update", "hello", "bash")
+
+
+def test_changes_then_reverse_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply(t, _batch(spark, [("a", 1, "x", 1, "U")]), "b1")
+    snap_b = t.snapshot_id()
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read_changes(snap_b, 0)
