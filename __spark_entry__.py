@@ -1180,6 +1180,50 @@ def _q_cdc_type_widen(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_incremental_agg(spark, sf):
+    """INCREMENTAL AGGREGATE MAINTENANCE oracle row (cdc/incremental.py):
+    replay three batches into the base table, syncing a per-event_type
+    count/sum aggregate from the CDF changes feed after EACH batch —
+    preimages retracted, postimages added, deltas MERGEd into a keyed
+    aggregate table. The final aggregate must equal a from-scratch GROUP BY
+    over the final winners, which is exactly what the DuckDB oracle
+    computes. No sync ever rescans the base table."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.incremental import IncrementalAggregate
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_incagg_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root + "/base", key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=2,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        agg = IncrementalAggregate(
+            spark, root + "/agg", tio, ["event_type"], ["value"], n_buckets=4
+        )
+        for i in range(3):
+            apply_batch(
+                tio, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i), batch_id=f"ia-b{i}"
+            )
+            agg.sync()
+        out = agg.read().select(
+            "event_type", "cnt", _rnd("sum_value", 2).alias("sum_value")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_lineage_metrics(spark, sf):
     """LINEAGE/METRICS oracle row (north-rule: 'per-partition lineage +
     metrics'): replay the derived changelog in four MoR batches, then
@@ -1742,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "cdc_type_widen": _q_cdc_type_widen,
+        "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
         "cdc_merge_apply": _q_cdc_merge_apply,
         "insert_update_delete": _q_insert_update_delete,
@@ -2395,6 +2440,19 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(CASE WHEN ct = 'delete' THEN ats ELSE bts END) AS ts_us,
                    ct AS _change_type
             FROM c WHERE ct IS NOT NULL
+        """,
+        "cdc_incremental_agg": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events),
+            live AS (
+              SELECT event_type, value FROM win
+              WHERE rn = 1 AND event_id % 11 <> 0)
+            SELECT event_type, count(*) AS cnt,
+                   floor(sum(value)*100 + 0.5)/100 AS sum_value
+            FROM live GROUP BY event_type
         """,
         "cdc_type_widen": """
             WITH win AS (

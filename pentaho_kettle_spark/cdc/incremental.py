@@ -1,0 +1,169 @@
+"""Incremental aggregate maintenance over the table's changes feed.
+
+At 10^10-event scale a derived aggregate (turns per conversation, token
+totals per corpus slice) cannot be refreshed by rescanning the base table
+after every ingest interval. This module maintains it from
+``read_changes(..., images="cdf")`` instead: retract each update's
+preimage, add its postimage, and MERGE the per-group deltas into a keyed
+aggregate table — work proportional to the interval's churn plus the
+touched groups, never the base table's size. This is classic incremental
+view maintenance (Griffin & Libkin, SIGMOD '95) specialised to
+count/sum/avg over an LWW upsert table.
+
+Reference parity: Kettle's closest shape is a Group By step re-run over
+the full input per execution (SURVEY §2.4) — there is no incremental
+path to parity with; this is the Spark-first upgrade the tier implies.
+
+Numeric contract: counts are exact (signed longs). Sums are doubles
+accumulated as (old + interval delta); floating-point non-associativity
+vs a from-scratch recompute is bounded by ~1 ulp per touched group per
+sync — round exposed sums for cross-engine comparison. A group's sum is
+NULL when no live row has a non-null value (SQL SUM semantics), tracked
+via a per-column non-null count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pentaho_kettle_spark.tableio.parquet_snapshot import (
+    SYS_SEQ,
+    ParquetSnapshotTableIO,
+)
+
+_ADD = ("insert", "update_postimage")
+
+
+def aggregate_deltas(
+    changes: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """CDF change rows → one delta row per touched group:
+    `_cnt_d` (live-row count delta) and, per sum column, `_sum_d_<c>` /
+    `_nn_d_<c>` (value and non-null-count deltas). Map-side partial
+    aggregation collapses the interval's churn before the group shuffle."""
+    sign = F.when(F.col("_change_type").isin(*_ADD), F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).alias("_cnt_d")]
+    for c in sum_cols:
+        v = F.col(c)
+        aggs.append(
+            F.sum(F.when(v.isNotNull(), sign * v).otherwise(F.lit(0.0))).alias(
+                f"_sum_d_{c}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0))).alias(f"_nn_d_{c}")
+        )
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+class IncrementalAggregate:
+    """A count/sum aggregate table over a base ParquetSnapshotTableIO,
+    maintained incrementally from the base's changes feed.
+
+    The aggregate itself is a ParquetSnapshotTableIO keyed by the group
+    columns (LWW on the base snapshot id it was synced to), so it gets
+    atomic commits, idempotent sync batches (`sync-<from>-<to>` batch ids),
+    time travel, and concurrent-writer safety for free. Group columns must
+    be non-null (they are the aggregate table's primary key).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        base: ParquetSnapshotTableIO,
+        group_cols: list[str],
+        sum_cols: list[str],
+        n_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.base = base
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.table = ParquetSnapshotTableIO(
+            spark,
+            root,
+            key_cols=tuple(group_cols),
+            lww_col="_ver",
+            n_buckets=n_buckets,
+            write_mode="cow",
+        )
+        if not self.table.exists():
+            base_types = {f["name"]: f["type"] for f in base.schema().fields}
+            import pyspark.sql.types as T
+
+            fields = [
+                T.StructField(g, T._parse_datatype_string(base_types[g]))
+                for g in group_cols
+            ]
+            fields.append(T.StructField("cnt", T.LongType()))
+            for c in sum_cols:
+                fields.append(T.StructField(f"sum_{c}", T.DoubleType()))
+                fields.append(T.StructField(f"nn_{c}", T.LongType()))
+            fields.append(T.StructField("_ver", T.LongType()))
+            self.table.init_empty(T.StructType(fields))
+
+    def synced_to(self) -> int:
+        """Base snapshot id the aggregate currently reflects (0 = empty)."""
+        ids = [
+            int(b.rsplit("-", 1)[1])
+            for b in self.table.committed_batches()
+            if b.startswith("sync-")
+        ]
+        return max(ids, default=0)
+
+    def sync(self) -> dict:
+        """Fold the base's changes since the last sync into the aggregate.
+        Idempotent: re-running after a crash skips via the committed-batch
+        manifest, exactly like ingest batches."""
+        frm, to = self.synced_to(), self.base.snapshot_id()
+        if to <= frm:
+            return {"skipped_noop_sync": frm}
+        ch = self.base.read_changes(frm, to, images="cdf")
+        d = aggregate_deltas(ch, self.group_cols, self.sum_cols)
+        cur = self.table.read()
+        # only the touched groups matter: deltas drive the join; the current
+        # aggregate row (if any) arrives via a key-partitioned left join —
+        # both sides orders smaller than the base table
+        j = d.join(cur, on=self.group_cols, how="left")
+        cnt = (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("_cnt_d")).alias("cnt")
+        cols = [*[F.col(g) for g in self.group_cols], cnt]
+        for c in self.sum_cols:
+            cols.append(
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0)) + F.col(f"_sum_d_{c}")
+                ).alias(f"sum_{c}")
+            )
+            cols.append(
+                (
+                    F.coalesce(F.col(f"nn_{c}"), F.lit(0)) + F.col(f"_nn_d_{c}")
+                ).alias(f"nn_{c}")
+            )
+        batch = (
+            j.select(
+                *cols,
+                F.lit(to).cast("long").alias("_ver"),
+                F.lit(to).cast("long").alias(SYS_SEQ),
+            )
+            # a group whose live-row count hits zero leaves the aggregate
+            .withColumn(
+                "op", F.when(F.col("cnt") <= 0, F.lit("D")).otherwise(F.lit("U"))
+            )
+        )
+        res = self.table.merge_apply(batch, batch_id=f"sync-{frm}-{to}")
+        res["synced_from"], res["synced_to"] = frm, to
+        return res
+
+    def read(self) -> DataFrame:
+        """group cols + cnt + sum_<c> (NULL when no non-null live value)."""
+        df = self.table.read()
+        cols = [*self.group_cols, "cnt"]
+        out = df.select(
+            *cols,
+            *[
+                F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}")).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+        )
+        return out

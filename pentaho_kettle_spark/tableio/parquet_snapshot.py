@@ -884,12 +884,22 @@ class ParquetSnapshotTableIO:
         return sorted(out)
 
     def read_changes(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        images: str = "net",
     ) -> DataFrame:
         """Incremental CDC read (Iceberg's changelog scan / Delta CDF): the
         NET row-level changes between two retained snapshots, one event per
         changed key with `_change_type` in ('insert','update','delete') —
         after-image columns for insert/update, before-image for delete.
+
+        `images`: "net" (default) emits one row per changed key; "cdf"
+        emits Delta-CDF-style rows — updates become TWO rows,
+        `update_preimage` (old values) + `update_postimage` (new values) —
+        so downstream consumers (incremental aggregate maintenance,
+        cdc/incremental.py) can retract the old contribution and add the
+        new one without reading either table state.
 
         Scale path: the two manifests' file-set diff names the buckets the
         interval touched; only those buckets are read and LWW-collapsed at
@@ -974,18 +984,42 @@ class ParquetSnapshotTableIO:
             .when(o_live & ~n_live, F.lit("delete"))
             .when(o_live & n_live & ~same, F.lit("update"))
         )
-        img = F.when(F.col("_change_type") == "delete", F.col("o")).otherwise(
-            F.col("n")
+        if images not in ("net", "cdf"):
+            raise ValueError(f"images must be 'net' or 'cdf', got {images!r}")
+        classified = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
         )
-        out = (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .withColumn("_img", img)
+        if images == "net":
+            img = F.when(F.col("_change_type") == "delete", F.col("o")).otherwise(
+                F.col("n")
+            )
+            out = classified.withColumn("_img", img)
+            return out.select(
+                *self.key_cols,
+                *[F.col(f"_img.{c}").alias(c) for c in data_cols],
+                "_change_type",
+            )
+        # cdf: explode updates into preimage+postimage; inserts/deletes are
+        # single rows. One generator, no second pass over either state.
+        sides = F.when(
+            F.col("_change_type") == "insert",
+            F.array(F.struct(F.lit("insert").alias("t"), F.col("n").alias("v"))),
+        ).when(
+            F.col("_change_type") == "delete",
+            F.array(F.struct(F.lit("delete").alias("t"), F.col("o").alias("v"))),
+        ).otherwise(
+            F.array(
+                F.struct(F.lit("update_preimage").alias("t"), F.col("o").alias("v")),
+                F.struct(F.lit("update_postimage").alias("t"), F.col("n").alias("v")),
+            )
         )
-        return out.select(
+        ex = classified.select(
+            *self.key_cols, F.explode(sides).alias("_e")
+        )
+        return ex.select(
             *self.key_cols,
-            *[F.col(f"_img.{c}").alias(c) for c in data_cols],
-            "_change_type",
+            *[F.col(f"_e.v.{c}").alias(c) for c in data_cols],
+            F.col("_e.t").alias("_change_type"),
         )
 
     def expire_snapshots(self, keep_last: int = 5, grace_seconds: float = 3600.0) -> dict:
