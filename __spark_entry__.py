@@ -1137,6 +1137,51 @@ def _q_cdc_incremental_read(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_recent_scan(spark, sf):
+    """FOOTER-PRUNED RECENT-ACTIVITY SCAN oracle row (Iceberg min/max file
+    skipping; Kettle's nearest notion is an incremental Table Input with a
+    date predicate, SURVEY §2.1): replay the log in two time-disjoint
+    batches (ts <= / > 2024-01-20), then `read(lww_after=cut)` — keys whose
+    winning version is newer than the cut. The old batch's files have
+    footer lww_max <= cut, so the scan skips them entirely (asserted via
+    last_scan); sound because every surviving winner lives in an unpruned
+    file and pruned rows are either LWW losers or winners the post-filter
+    drops. The DuckDB oracle collapses the FULL log and filters ts > cut."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    cut = dt.datetime(2024, 1, 20)
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_recent_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=64,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        apply_batch(tio, ev.filter(F.col("ts") <= F.lit(cut)), batch_id="rec-old")
+        apply_batch(tio, ev.filter(F.col("ts") > F.lit(cut)), batch_id="rec-new")
+        out = tio.read(lww_after=cut)
+        scan = tio.last_scan
+        assert scan["files_pruned"] >= 1, f"no files pruned: {scan}"
+        assert scan["files_pruned"] < scan["files_total"]
+        out = out.select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_type_widen(spark, sf):
     """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
     to the table): batch A lands `value` truncated to INT, so the table
@@ -1785,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_ingest": _q_streaming_cdc_ingest,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_incremental_read": _q_cdc_incremental_read,
+        "cdc_recent_scan": _q_cdc_recent_scan,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
@@ -2440,6 +2486,19 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(CASE WHEN ct = 'delete' THEN ats ELSE bts END) AS ts_us,
                    ct AS _change_type
             FROM c WHERE ct IS NOT NULL
+        """,
+        # winners of the FULL log whose version is newer than the cut; the
+        # Spark side scans only files with footer lww_max > cut
+        "cdc_recent_scan": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win
+            WHERE rn = 1 AND event_id % 11 <> 0
+              AND ts > TIMESTAMP '2024-01-20 00:00:00'
         """,
         "cdc_incremental_agg": """
             WITH win AS (

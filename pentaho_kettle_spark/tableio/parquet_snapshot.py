@@ -77,6 +77,45 @@ def _del_rows(pf) -> int:
     return total
 
 
+def _stat_us(v):
+    """Normalize a parquet footer statistic to a JSON-comparable number:
+    naive datetimes (the session pins UTC) → epoch microseconds; date →
+    epoch days; numbers pass through. None for types we don't order."""
+    import datetime as _dtm
+
+    if isinstance(v, _dtm.datetime):
+        # footer stats come back tz-aware (timestamp[us, tz=UTC]); caller
+        # thresholds are naive session-UTC — normalize both to epoch micros
+        epoch = (
+            _dtm.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            if v.tzinfo is not None
+            else _dtm.datetime(1970, 1, 1)
+        )
+        td = v - epoch
+        # exact integer micros — total_seconds() is float and can round
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    if isinstance(v, _dtm.date):
+        return (v - _dtm.date(1970, 1, 1)).days
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return v
+
+
+def _lww_minmax(pf, idx):
+    """(min, max) of one column across a file's row groups, from footer
+    statistics only — no data pages are read. (None, None) when any group
+    lacks stats (the file is then never pruned)."""
+    md = pf.metadata
+    mn = mx = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn = st.min if mn is None or st.min < mn else mn
+        mx = st.max if mx is None or st.max > mx else mx
+    return mn, mx
+
+
 class _DuplicateBatch(Exception):
     """Raised inside a commit mutation when the batch id is already
     committed — turns into a skip, making re-delivered epochs no-ops."""
@@ -152,6 +191,13 @@ class ParquetSnapshotTableIO:
         # this driver). Data-file writes happen OUTSIDE the lock; only the
         # read-mutate-swap of the manifest is serialized.
         self._commit_lock = threading.Lock()
+        # lww_after file pruning needs footer min/max stats on the lww
+        # column; legacy INT96 timestamps carry none, so pin INT64 micros
+        # (Iceberg's representation) even under a caller-built session
+        if spark is not None:  # metadata-only uses pass spark=None
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -260,13 +306,24 @@ class ParquetSnapshotTableIO:
             out = out.unionByName(p)
         return out
 
-    def read_full(self, buckets: list[int] | None = None) -> DataFrame | None:
+    def read_full(
+        self, buckets: list[int] | None = None, lww_after=None
+    ) -> DataFrame | None:
         """All rows incl. tombstones + system cols; optional bucket pruning.
 
         Merge-on-read: if the selected buckets carry delta files, base∪deltas
         is collapsed to one row per key by LWW (max (lww, _seq)) before being
         returned — readers always see merged state regardless of write mode.
-        """
+
+        `lww_after` (a value of the lww column's type) skips files whose
+        footer-recorded lww max is ≤ the threshold. ONLY sound when the
+        caller also filters `lww_col > lww_after` after the collapse (as
+        `read(lww_after=...)` does): every pruned row has lww ≤ threshold,
+        so it is either a collapse loser to a kept row with lww > threshold,
+        or its key's winner is itself ≤ threshold and the post-filter drops
+        the key entirely — identical output, fewer files scanned.
+        `self.last_scan` records {files_total, files_pruned} for plan
+        assertions."""
         m = self.current_manifest()
         if m is None:
             return None
@@ -277,6 +334,14 @@ class ParquetSnapshotTableIO:
             if buckets is None or int(b) in buckets:
                 entries.extend(es)
                 has_delta = has_delta or any(e.get("kind") == "delta" for e in es)
+        total = len(entries)
+        if lww_after is not None:
+            thr = _stat_us(lww_after)
+            if thr is not None:
+                entries = [
+                    e for e in entries if e.get("lww_max") is None or e["lww_max"] > thr
+                ]
+        self.last_scan = {"files_total": total, "files_pruned": total - len(entries)}
         df = self._read_files(entries, schema)
         if df is None:
             empty = self.spark.createDataFrame([], schema.to_struct())
@@ -298,14 +363,21 @@ class ParquetSnapshotTableIO:
         cols += [F.col(f"w.{c}").alias(c) for c in payload]
         return agg.select(*cols)
 
-    def read(self) -> DataFrame | None:
-        """The visible table: non-tombstone rows, data columns only."""
-        df = self.read_full()
+    def read(self, lww_after=None) -> DataFrame | None:
+        """The visible table: non-tombstone rows, data columns only.
+
+        `lww_after` returns only keys whose current winning version is
+        newer than the threshold — an incremental-consumer / recent-activity
+        scan — and skips whole files via footer lww bounds (see read_full)."""
+        df = self.read_full(lww_after=lww_after)
         if df is None:
             return None
         m = self.current_manifest()
         names = TableSchema(**m["schema"]).names()
-        return df.filter(~F.col(SYS_DELETED)).select(*names)
+        out = df.filter(~F.col(SYS_DELETED))
+        if lww_after is not None:
+            out = out.filter(F.col(self.lww_col) > F.lit(lww_after))
+        return out.select(*names)
 
     def schema(self) -> TableSchema | None:
         m = self.current_manifest()
@@ -363,6 +435,16 @@ class ParquetSnapshotTableIO:
                          "kind": kind}
                 if count_del:
                     entry["del_rows"] = _del_rows(pf)
+                # Iceberg-style per-file lww bounds (footer stats, no data
+                # pages): lets read(lww_after=...) skip files whose entire
+                # ts range precedes the predicate
+                if self.lww_col in pf.schema_arrow.names:
+                    mn, mx = _lww_minmax(
+                        pf, pf.schema_arrow.get_field_index(self.lww_col)
+                    )
+                    mn, mx = _stat_us(mn), _stat_us(mx)
+                    if mn is not None and mx is not None:
+                        entry["lww_min"], entry["lww_max"] = mn, mx
                 files.setdefault(bucket, []).append(entry)
         return files
 

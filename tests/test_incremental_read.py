@@ -133,3 +133,67 @@ def test_changes_then_reverse_raises(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.read_changes(snap_b, 0)
+
+
+# --- read(lww_after=...): footer-stat file pruning -------------------------
+# Iceberg-analog min/max file skipping: _write_buckets records each file's
+# (lww_min, lww_max) from parquet footer statistics; read(lww_after=t) skips
+# files whose entire lww range is <= t, then post-filters the collapsed
+# winners to lww > t. Sound because any row with lww > t lives in a file
+# with lww_max > t (never pruned); pruned rows are either collapse losers
+# or winners the post-filter would drop.
+
+
+def _cut(s):
+    import datetime as dt
+
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_lww_after_matches_full_scan_filter(spark, tmp_path):
+    t = _mk(spark, tmp_path, write_mode="mor")
+    _apply(t, _batch(spark, [("a", 1, "old-a", 1, "U"), ("b", 1, "old-b", 2, "U"),
+                             ("c", 1, "old-c", 3, "U")]), "b1")
+    _apply(t, _batch(spark, [("a", 1, "new-a", 100, "U"), ("d", 1, "new-d", 101, "U"),
+                             ("b", 1, None, 102, "D")]), "b2")
+    cut = _cut(50)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in t.read(lww_after=cut).collect()
+    )
+    # winners newer than the cut, tombstones excluded: a (updated), d (new);
+    # b deleted; c's winner is old -> dropped by the post-filter
+    assert got == [("a", 1, "new-a"), ("d", 1, "new-d")]
+    full = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.read().filter(F.col("ts") > F.lit(cut)).collect()
+    )
+    assert got == full
+
+
+def test_lww_after_prunes_time_disjoint_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, write_mode="mor")
+    _apply(t, _batch(spark, [(f"k{i}", 1, "old", i, "U") for i in range(8)]), "b1")
+    _apply(t, _batch(spark, [(f"k{i}", 1, "new", 200 + i, "U") for i in range(0, 8, 2)]),
+           "b2")
+    cut = _cut(100)
+    rows = t.read(lww_after=cut).collect()
+    assert sorted(r["conv_id"] for r in rows) == ["k0", "k2", "k4", "k6"]
+    scan = t.last_scan
+    # every batch-1 file has lww_max <= cut -> skipped from the scan entirely
+    assert scan["files_pruned"] >= 1
+    assert scan["files_total"] > scan["files_pruned"]
+    # threshold below all data prunes nothing and returns every live key
+    t.read(lww_after=_cut(0)).collect()
+    assert t.last_scan["files_pruned"] == 0
+
+
+def test_lww_after_late_arriving_loser_pruned_safely(spark, tmp_path):
+    t = _mk(spark, tmp_path, write_mode="mor")
+    _apply(t, _batch(spark, [("a", 1, "winner", 300, "U")]), "b1")
+    # late delta carries only STALE events (ts 5 < winner's 300): the whole
+    # delta file is prunable at cut=100, and dropping it must not change
+    # the collapse (its rows are LWW losers)
+    _apply(t, _batch(spark, [("a", 1, "stale", 5, "U")]), "b2")
+    got = t.read(lww_after=_cut(100)).collect()
+    assert [(r["conv_id"], r["text"]) for r in got] == [("a", "winner")]
+    assert t.last_scan["files_pruned"] >= 1
