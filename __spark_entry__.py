@@ -1182,6 +1182,51 @@ def _q_cdc_recent_scan(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_rollback_replay(spark, sf):
+    """ROLLBACK / WRITE-AUDIT-PUBLISH oracle row (Iceberg rollback + tag
+    refs; Kettle has no analog — jobs re-run whole transformations): replay
+    batch A (even seq), tag the audited snapshot, then apply a CORRUPT
+    batch B (values negated); the audit fails, `rollback("audited")`
+    reverts state as a forward-moving commit AND restores the batch ledger,
+    so re-applying the good batch B under the same batch_id is not a
+    duplicate. The DuckDB oracle is the collapse of A + good-B — the
+    corrupt commit must leave no trace."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_rb_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=16,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        b_a = ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 0)
+        b_b = ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 1)
+        apply_batch(tio, b_a, batch_id="rb-a")
+        tio.tag("audited")
+        apply_batch(tio, b_b.withColumn("value", -F.col("value")), batch_id="rb-b")
+        tio.rollback("audited")
+        assert "rb-b" not in tio.committed_batches()
+        out = apply_batch(tio, b_b, batch_id="rb-b")
+        assert "skipped_duplicate_batch" not in out
+        out = tio.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_type_widen(spark, sf):
     """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
     to the table): batch A lands `value` truncated to INT, so the table
@@ -1831,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_incremental_read": _q_cdc_incremental_read,
         "cdc_recent_scan": _q_cdc_recent_scan,
+        "cdc_rollback_replay": _q_cdc_rollback_replay,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
@@ -2486,6 +2532,17 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(CASE WHEN ct = 'delete' THEN ats ELSE bts END) AS ts_us,
                    ct AS _change_type
             FROM c WHERE ct IS NOT NULL
+        """,
+        # rollback erased the corrupt batch entirely, then the good half was
+        # re-applied -> the table equals the clean full-log collapse
+        "cdc_rollback_replay": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
         """,
         # winners of the FULL log whose version is newer than the cut; the
         # Spark side scans only files with footer lww_max > cut

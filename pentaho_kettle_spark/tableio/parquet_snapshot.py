@@ -938,9 +938,139 @@ class ParquetSnapshotTableIO:
         with open(p) as f:
             return json.load(f)
 
-    def read_at(self, snapshot_id: int) -> DataFrame | None:
-        """Time-travel read: the visible table as of a retained snapshot."""
-        m = self.manifest_at(snapshot_id)
+    # ---------- named refs (Iceberg tags) ----------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """Named refs (Iceberg tag analog): {tag_name: snapshot_id}. Stored
+        beside the snapshots, not inside them — as in Iceberg, refs are
+        table metadata that survives every commit untouched."""
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a name to a retained snapshot (current if not given). Tagged
+        snapshots are exempt from expire_snapshots — the write-audit-publish
+        pattern: tag the audited snapshot, publish by reading the tag."""
+        with self._commit_lock, self._process_lock():
+            sid = self.snapshot_id() if snapshot_id is None else int(snapshot_id)
+            self.manifest_at(sid)  # raises if expired / never existed
+            refs = self.refs()
+            refs[name] = sid
+            tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(refs, f)
+            os.rename(tmp, self._refs_path())
+            return sid
+
+    def untag(self, name: str) -> None:
+        with self._commit_lock, self._process_lock():
+            refs = self.refs()
+            refs.pop(name, None)
+            tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(refs, f)
+            os.rename(tmp, self._refs_path())
+
+    def _resolve_ref(self, ref: int | str) -> int:
+        if isinstance(ref, str):
+            refs = self.refs()
+            if ref not in refs:
+                raise ValueError(f"unknown tag {ref!r} (tags: {sorted(refs)})")
+            return refs[ref]
+        return int(ref)
+
+    def rollback(self, to: int | str) -> dict:
+        """Revert the table to a retained snapshot as a NEW commit (Iceberg
+        rollback semantics: history moves forward, state moves back). Files,
+        schema, committed-batch ledger, and seq watermark are restored from
+        the target manifest, so batches undone by the rollback may be
+        legitimately re-applied — replay-from-checkpoint after a rollback
+        reconstructs the same final state. Data files are never touched;
+        the target's files are still on disk because its manifest is
+        retained (expire_snapshots collects only unreferenced files)."""
+        sid = self._resolve_ref(to)
+        tgt = self.manifest_at(sid)
+
+        def _mutate(cur: dict) -> dict:
+            return {
+                "schema": tgt["schema"],
+                "n_buckets": tgt.get("n_buckets", self.n_buckets),
+                "files": tgt["files"],
+                "committed_batches": tgt["committed_batches"],
+                "seq_high_watermark": tgt.get("seq_high_watermark", -1),
+                "lineage": [*cur["lineage"], {"rollback_to": sid}],
+            }
+
+        m = self._commit_mutation(_mutate)
+        return {"snapshot_id": m["snapshot_id"], "rolled_back_to": sid}
+
+    # ---------- metadata tables (Iceberg .snapshots / .files analog) -----
+
+    def meta_snapshots(self) -> DataFrame:
+        """One row per retained snapshot: id, parent, file/row/batch counts.
+        Driver-side metadata, O(retained manifests) — same class as
+        Iceberg's `.snapshots` metadata table."""
+        rows = []
+        for sid in self.snapshot_ids():
+            m = self.manifest_at(sid)
+            es = [e for fes in m["files"].values() for e in fes]
+            rows.append(
+                (
+                    sid,
+                    m.get("parent"),
+                    len(es),
+                    sum(e["rows"] for e in es),
+                    sum(1 for e in es if e.get("kind") == "delta"),
+                    len(m["committed_batches"]),
+                    m["schema"]["version"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent long, n_files long, n_rows long, "
+            "n_delta_files long, n_batches long, schema_version long",
+        )
+
+    def meta_files(self, snapshot_id: int | str | None = None) -> DataFrame:
+        """One row per data file of a snapshot (current if not given):
+        bucket, path, kind, rows, tombstone rows, footer lww bounds —
+        the pruning statistics `read(lww_after=...)` plans against."""
+        m = (
+            self.current_manifest()
+            if snapshot_id is None
+            else self.manifest_at(self._resolve_ref(snapshot_id))
+        )
+        rows = []
+        for b, es in m["files"].items():
+            for e in es:
+                rows.append(
+                    (
+                        int(b),
+                        e["path"],
+                        e.get("kind", "base"),
+                        e["rows"],
+                        e.get("del_rows"),
+                        e.get("lww_min"),
+                        e.get("lww_max"),
+                        e.get("schema_version", 0),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, path string, kind string, rows long, del_rows long, "
+            "lww_min long, lww_max long, schema_version long",
+        )
+
+    def read_at(self, snapshot_id: int | str) -> DataFrame | None:
+        """Time-travel read: the visible table as of a retained snapshot
+        (by id or tag name)."""
+        m = self.manifest_at(self._resolve_ref(snapshot_id))
         schema = TableSchema(**m["schema"])
         entries = [e for es in m["files"].values() for e in es]
         df = self._read_files(entries, schema)
@@ -1122,8 +1252,9 @@ class ParquetSnapshotTableIO:
                 return {"expired_snapshots": [], "deleted_files": 0}
             ids = self.snapshot_ids()
             floor_id = cur["snapshot_id"] - max(keep_last - 1, 0)
-            expired = [i for i in ids if i < floor_id]
-            retained = [i for i in ids if i >= floor_id]
+            tagged = set(self.refs().values())  # tags pin snapshots (Iceberg)
+            expired = [i for i in ids if i < floor_id and i not in tagged]
+            retained = [i for i in ids if i >= floor_id or i in tagged]
             referenced: set[str] = set()
             for i in retained:
                 m = self.manifest_at(i)

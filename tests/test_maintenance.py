@@ -208,3 +208,83 @@ def test_expiry_during_active_ingest_with_async_compactor(spark, tmp_path):
         df = t.read_at(sid)
         assert df is not None
         df.count()  # materializes: all referenced files must exist
+
+
+# --- rollback, tags, metadata tables (Iceberg refs/.snapshots analog) ------
+
+
+def test_rollback_restores_state_and_batch_ledger(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rb"))
+    t.merge_apply(_changes(spark, [("a", 1.0, 100, 1, "U")]), batch_id="b1")
+    keep = t.snapshot_id()
+    t.merge_apply(_changes(spark, [("a", 2.0, 200, 2, "U"),
+                                   ("b", 9.0, 201, 3, "U")]), batch_id="b2")
+    assert {r.k: r.v for r in t.read().collect()} == {"a": 2.0, "b": 9.0}
+
+    res = t.rollback(keep)
+    assert res["rolled_back_to"] == keep
+    # history moved FORWARD, state moved BACK
+    assert t.snapshot_id() > keep
+    assert {r.k: r.v for r in t.read().collect()} == {"a": 1.0}
+    # the undone batch left the ledger -> re-applying it is NOT a duplicate
+    assert "b2" not in t.committed_batches()
+    out = t.merge_apply(
+        _changes(spark, [("a", 2.0, 200, 2, "U"), ("b", 9.0, 201, 3, "U")]),
+        batch_id="b2",
+    )
+    assert "skipped_duplicate_batch" not in out
+    assert {r.k: r.v for r in t.read().collect()} == {"a": 2.0, "b": 9.0}
+
+
+def test_tag_pins_snapshot_through_expiry(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tag"))
+    for i in range(5):
+        t.merge_apply(
+            _changes(spark, [(f"k{i}", float(i), 100 + i, i, "U")]),
+            batch_id=f"b{i}",
+        )
+    audited = t.snapshot_ids()[2]
+    t.tag("audited", audited)
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    # the tagged snapshot survived outside the keep_last window
+    assert audited in t.snapshot_ids()
+    by_tag = {r.k for r in t.read_at("audited").collect()}
+    assert by_tag == {r.k for r in t.read_at(audited).collect()}
+    # its files survived GC too (read_at above would fail otherwise); untag
+    # releases the pin and the next expiry collects it
+    t.untag("audited")
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    assert audited not in t.snapshot_ids()
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read_at("audited")
+
+
+def test_rollback_to_tag_and_unknown_tag_raises(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rbt"))
+    t.merge_apply(_changes(spark, [("a", 1.0, 100, 1, "U")]), batch_id="b1")
+    t.tag("good")
+    t.merge_apply(_changes(spark, [("a", 7.0, 200, 2, "U")]), batch_id="bad")
+    t.rollback("good")
+    assert {r.k: r.v for r in t.read().collect()} == {"a": 1.0}
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.rollback("nope")
+
+
+def test_meta_tables(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "meta"), write_mode="mor")
+    t.merge_apply(_changes(spark, [("a", 1.0, 100, 1, "U"),
+                                   ("b", 2.0, 101, 2, "U")]), batch_id="b1")
+    t.merge_apply(_changes(spark, [("a", 3.0, 300, 3, "U")]), batch_id="b2")
+    snaps = {r.snapshot_id: r for r in t.meta_snapshots().collect()}
+    assert set(snaps) == set(t.snapshot_ids())
+    cur = snaps[t.snapshot_id()]
+    assert cur.n_rows == 3 and cur.n_batches == 2
+    files = t.meta_files().collect()
+    assert sum(r.rows for r in files) == 3
+    # footer lww bounds recorded on every file, ordered, and within range
+    assert all(r.lww_min is not None and r.lww_min <= r.lww_max for r in files)
+    assert max(r.lww_max for r in files) == 300
