@@ -200,6 +200,14 @@ class ParquetSnapshotTableIO:
             )
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # the bucket layout is TABLE state, not caller preference: reopening
+        # an existing table must adopt the manifest's n_buckets, or new rows
+        # would hash into a different layout than the files on disk and the
+        # bucket-pruned merge would miss a key's existing row (duplicates).
+        # The constructor arg only seeds a NEW table; rebucket() changes it.
+        m = self.current_manifest()
+        if m is not None and "n_buckets" in m:
+            self.n_buckets = int(m["n_buckets"])
 
     def _process_lock(self):
         """Advisory inter-process exclusive lock on the table root.
@@ -820,6 +828,65 @@ class ParquetSnapshotTableIO:
 
         self._commit_mutation(_mutate)
         return sorted(target)
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Bucket-layout evolution (Iceberg partition-spec-evolution-with-
+        rewrite analog): rewrite the whole table into `n_buckets` hash
+        buckets and commit the new layout. The layout is table state — a
+        table sized for 10^8 events needs more buckets at 10^10, or every
+        bucket outgrows executor memory during folds; rebucket is the
+        one-off O(table) rewrite that re-sizes it (run it like a major
+        compaction, during a quiet window).
+
+        Optimistic concurrency: rows are re-hashed under the NEW layout, so
+        a concurrent ingest commit in the OLD layout cannot be composed
+        into the result — if any commit lands between our snapshot read and
+        the swap, the commit raises RuntimeError and the caller retries
+        (Iceberg fails a RewriteFiles on conflicting commits the same way).
+        Time travel to pre-rebucket snapshots still works: old files stay
+        until expire_snapshots collects them."""
+        n_new = int(n_buckets)
+        if n_new < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_new}")
+        m = self.current_manifest()
+        schema = TableSchema(**m["schema"])
+        entries = [e for es in m["files"].values() for e in es]
+        old_n = self.n_buckets
+        df = self._read_files(entries, schema)
+        collapsed = (
+            None if df is None else self._collapse_rows(df, schema.names())
+        )
+        self.n_buckets = n_new
+        try:
+            new_files = (
+                {}
+                if collapsed is None
+                else self._write_buckets(collapsed, schema.version, kind="base")
+            )
+
+            def _mutate(cur: dict) -> dict:
+                if cur["snapshot_id"] != m["snapshot_id"]:
+                    raise RuntimeError(
+                        "rebucket conflict: table advanced from snapshot "
+                        f"{m['snapshot_id']} to {cur['snapshot_id']} during the "
+                        "rewrite; retry when ingest is quiesced"
+                    )
+                out = dict(cur)
+                out["n_buckets"] = n_new
+                out["files"] = {b: list(es) for b, es in new_files.items()}
+                out["lineage"] = [
+                    *cur["lineage"],
+                    {"mode": "rebucket", "from_buckets": old_n,
+                     "to_buckets": n_new},
+                ]
+                return out
+
+            committed = self._commit_mutation(_mutate)
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        return {"snapshot_id": committed["snapshot_id"],
+                "from_buckets": old_n, "to_buckets": n_new}
 
     def compact_minor(self, buckets: list[int] | None = None) -> list[int]:
         """MINOR compaction: merge each bucket's delta files into ONE delta

@@ -288,3 +288,78 @@ def test_meta_tables(spark, tmp_path):
     # footer lww bounds recorded on every file, ordered, and within range
     assert all(r.lww_min is not None and r.lww_min <= r.lww_max for r in files)
     assert max(r.lww_max for r in files) == 300
+
+
+# --- bucket-layout evolution ----------------------------------------------
+
+
+def test_reopen_adopts_manifest_layout(spark, tmp_path):
+    root = str(tmp_path / "layout")
+    t = _mk(spark, root)  # n_buckets=4 seeds the NEW table
+    t.merge_apply(_changes(spark, [("a", 1.0, 100, 1, "U"),
+                                   ("b", 2.0, 101, 2, "U")]), batch_id="b1")
+    # reopening with a different constructor value must NOT change the
+    # layout — otherwise new rows hash into different buckets than the
+    # files on disk and the bucket-pruned merge misses existing keys
+    t2 = ParquetSnapshotTableIO(
+        spark, root, key_cols=("k",), lww_col="ts", n_buckets=64
+    )
+    assert t2.n_buckets == 4
+    t2.merge_apply(_changes(spark, [("a", 9.0, 200, 3, "U")]), batch_id="b2")
+    rows = t2.read().collect()
+    assert len(rows) == 2  # no duplicate "a"
+    assert {r.k: r.v for r in rows} == {"a": 9.0, "b": 2.0}
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rbk"), write_mode="mor",
+            compact_delta_files=64)
+    t.merge_apply(_changes(spark, [(f"k{i}", float(i), 100 + i, i, "U")
+                                   for i in range(20)]), batch_id="b1")
+    t.merge_apply(_changes(spark, [("k3", 33.0, 300, 100, "U"),
+                                   ("k5", None, 301, 101, "D")]), batch_id="b2")
+    before = {r.k: r.v for r in t.read().collect()}
+    pre = t.snapshot_id()
+
+    res = t.rebucket(11)
+    assert (res["from_buckets"], res["to_buckets"]) == (4, 11)
+    assert t.n_buckets == 11
+    assert t.current_manifest()["n_buckets"] == 11
+    assert {r.k: r.v for r in t.read().collect()} == before
+    # tombstone survived the rewrite: re-delivering an OLDER update for the
+    # deleted key must still lose
+    t.merge_apply(_changes(spark, [("k5", 5.0, 150, 5, "U")]), batch_id="b3")
+    assert "k5" not in {r.k for r in t.read().collect()}
+    # new layout actually used, and merges in it stay correct
+    assert all(0 <= r.bucket < 11 for r in t.meta_files().collect())
+    t.merge_apply(_changes(spark, [("k3", 44.0, 400, 200, "U")]), batch_id="b4")
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got["k3"] == 44.0 and len(got) == len(before)
+    # time travel to the pre-rebucket snapshot still reads the old layout
+    assert {r.k: r.v for r in t.read_at(pre).collect()} == before
+
+
+def test_rebucket_conflicting_commit_raises(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rbc"))
+    t.merge_apply(_changes(spark, [("a", 1.0, 100, 1, "U")]), batch_id="b1")
+    orig = t._write_buckets
+
+    def _race(*a, **kw):
+        out = orig(*a, **kw)
+        # a concurrent ingest lands between the rewrite and the swap
+        # (unpatch first: merge_apply itself calls _write_buckets)
+        t._write_buckets = orig
+        t.merge_apply(_changes(spark, [("z", 9.0, 900, 9, "U")]), batch_id="bz")
+        return out
+
+    t._write_buckets = _race
+    import pytest
+
+    try:
+        with pytest.raises(RuntimeError, match="rebucket conflict"):
+            t.rebucket(8)
+    finally:
+        t._write_buckets = orig
+    # failed rebucket rolled the in-memory layout back and lost nothing
+    assert t.n_buckets == 4
+    assert {r.k for r in t.read().collect()} == {"a", "z"}
