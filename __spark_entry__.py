@@ -1227,6 +1227,60 @@ def _q_cdc_rollback_replay(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_rebucket(spark, sf):
+    """BUCKET-LAYOUT EVOLUTION oracle row (Iceberg partition-spec evolution
+    with rewrite; Kettle has no analog — its hop graph has no persistent
+    layout): replay two batches into a 4-bucket table, `rebucket(16)` (the
+    one-off O(table) rewrite that re-sizes a layout outgrown by data
+    volume), then apply a third batch UNDER THE NEW LAYOUT. The final state
+    must equal the plain full-log collapse — the layout rewrite is invisible
+    to readers — and a reopened handle must adopt 16 buckets from the
+    manifest. The DuckDB oracle is the windowed LWW collapse of the full
+    log, identical to what a never-rebucketed table would hold."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_rbk_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=4, write_mode="mor", compact_delta_files=16,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        for i in (0, 1):
+            apply_batch(
+                tio, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i),
+                batch_id=f"rbk-{i}",
+            )
+        res = tio.rebucket(16)
+        assert res["from_buckets"] == 4 and res["to_buckets"] == 16, res
+        # a fresh handle must adopt the committed layout from the manifest
+        tio2 = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            write_mode="mor", compact_delta_files=16,
+        )
+        assert tio2.n_buckets == 16, tio2.n_buckets
+        apply_batch(
+            tio2, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == 2),
+            batch_id="rbk-2",
+        )
+        out = tio2.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_type_widen(spark, sf):
     """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
     to the table): batch A lands `value` truncated to INT, so the table
@@ -1877,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_read": _q_cdc_incremental_read,
         "cdc_recent_scan": _q_cdc_recent_scan,
         "cdc_rollback_replay": _q_cdc_rollback_replay,
+        "cdc_rebucket": _q_cdc_rebucket,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
@@ -2536,6 +2591,17 @@ def oracle_sql() -> dict[str, str]:
         # rollback erased the corrupt batch entirely, then the good half was
         # re-applied -> the table equals the clean full-log collapse
         "cdc_rollback_replay": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # the layout rewrite (4 -> 16 buckets mid-replay) must be invisible:
+        # the table equals the plain full-log collapse
+        "cdc_rebucket": """
             WITH win AS (
               SELECT user_id, event_type, value, ts, event_id,
                      row_number() OVER (PARTITION BY user_id, event_type
