@@ -199,7 +199,11 @@ class ParquetSnapshotTableIO:
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # content-addressed bucket manifests are immutable → raw-text cache
+        # (parsed fresh per call so callers can mutate their copy freely)
+        self._bucket_manifest_cache: dict[str, str] = {}
         # the bucket layout is TABLE state, not caller preference: reopening
         # an existing table must adopt the manifest's n_buckets, or new rows
         # would hash into a different layout than the files on disk and the
@@ -246,12 +250,99 @@ class ParquetSnapshotTableIO:
         with open(p) as f:
             name = f.read().strip()
         with open(os.path.join(self.root, "snapshots", name)) as f:
-            return json.load(f)
+            return self._resolve_files(json.load(f))
 
     def exists(self) -> bool:
         return self.current_manifest() is not None
 
+    def _resolve_files(self, snap: dict) -> dict:
+        """Materialize `snap['files']` from the two-level layout: the
+        snapshot stores only `{bucket: bucket-manifest filename}`; each
+        bucket manifest is an immutable content-addressed JSON list of file
+        entries under `manifests/`. Callers see the same in-memory shape as
+        the old inline format (legacy inline snapshots pass through)."""
+        if "files_manifests" not in snap:
+            return snap
+        files: dict[str, list[dict]] = {}
+        for b, fn in snap["files_manifests"].items():
+            files[b] = json.loads(self._read_manifest_blob(fn))
+        snap["files"] = files
+        # history ledgers: full 1024-entry segments live in immutable
+        # content-addressed files; the snapshot carries only the partial
+        # tail inline, so per-commit ledger IO is O(1) amortized instead of
+        # O(batches since table creation)
+        for key in ("lineage", "committed_batches"):
+            seg_key = f"{key}_segments"
+            if seg_key in snap:
+                full: list = []
+                for fn in snap[seg_key]:
+                    full.extend(json.loads(self._read_manifest_blob(fn)))
+                full.extend(snap.get(key, []))
+                snap[key] = full
+        return snap
+
+    def _read_manifest_blob(self, fn: str) -> str:
+        raw = self._bucket_manifest_cache.get(fn)
+        if raw is None:
+            with open(os.path.join(self.root, "manifests", fn)) as f:
+                raw = f.read()
+            if len(self._bucket_manifest_cache) > 4096:
+                self._bucket_manifest_cache.clear()
+            self._bucket_manifest_cache[fn] = raw
+        return raw
+
+    def _write_manifest_blob(self, prefix: str, content: str) -> str:
+        """Write an immutable content-addressed metadata blob (bucket
+        manifest or ledger segment); identical content reuses the existing
+        file, which is what makes unchanged metadata free to carry forward."""
+        import hashlib
+
+        digest = hashlib.md5(content.encode()).hexdigest()[:16]
+        fn = f"{prefix}-{digest}.json"
+        full = os.path.join(self.root, "manifests", fn)
+        if not os.path.exists(full):
+            tmp = full + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(content)
+            os.rename(tmp, full)  # readers never see a torn manifest
+        return fn
+
     def _commit(self, manifest: dict) -> None:
+        """Write the snapshot in the two-level layout (Iceberg
+        manifest-list analog): one small content-addressed manifest file
+        per bucket, reused verbatim across snapshots while the bucket is
+        untouched, plus a snapshot JSON holding only the per-bucket
+        pointers. Commit IO is O(changed buckets + n_buckets pointers) —
+        not O(total file entries) — which is what keeps the metadata path
+        flat when a 100 TB table takes a batch touching 1% of its buckets.
+        (Hashing is CPU-side O(entries); the write amplification that hurts
+        on an object store is the IO, and that is what the reuse removes.)
+
+        History ledgers (`lineage`, `committed_batches`) get the same
+        treatment: full SEGMENT_ROWS-entry segments are spilled to
+        content-addressed files — a growing ledger only ever rewrites its
+        partial tail, never its history."""
+        SEGMENT_ROWS = 1024
+        manifest = dict(manifest)
+        files = manifest.pop("files", {})
+        manifest.pop("files_manifests", None)  # stale copy from dict(cur)
+        fm: dict[str, str] = {}
+        for b, es in files.items():
+            content = json.dumps(es, sort_keys=True, separators=(",", ":"))
+            fm[b] = self._write_manifest_blob(f"b{b}", content)
+        manifest["files_manifests"] = fm
+        for key in ("lineage", "committed_batches"):
+            full_list = manifest.get(key, [])
+            segs: list[str] = []
+            n_full = len(full_list) // SEGMENT_ROWS
+            for s in range(n_full):
+                chunk = full_list[s * SEGMENT_ROWS:(s + 1) * SEGMENT_ROWS]
+                segs.append(self._write_manifest_blob(
+                    f"seg-{key[:3]}",
+                    json.dumps(chunk, separators=(",", ":")),
+                ))
+            manifest[f"{key}_segments"] = segs
+            manifest[key] = full_list[n_full * SEGMENT_ROWS:]
         name = f"snap-{manifest['snapshot_id']:06d}.json"
         with open(os.path.join(self.root, "snapshots", name), "w") as f:
             json.dump(manifest, f, indent=1)
@@ -1003,7 +1094,7 @@ class ParquetSnapshotTableIO:
                 f"(retained: {self.snapshot_ids()})"
             )
         with open(p) as f:
-            return json.load(f)
+            return self._resolve_files(json.load(f))
 
     # ---------- named refs (Iceberg tags) ----------
 
@@ -1323,24 +1414,52 @@ class ParquetSnapshotTableIO:
             expired = [i for i in ids if i < floor_id and i not in tagged]
             retained = [i for i in ids if i >= floor_id or i in tagged]
             referenced: set[str] = set()
+            referenced_manifests: set[str] = set()
             for i in retained:
                 m = self.manifest_at(i)
                 for es in m["files"].values():
                     referenced.update(e["path"] for e in es)
+                referenced_manifests.update(m.get("files_manifests", {}).values())
+                referenced_manifests.update(m.get("lineage_segments", []))
+                referenced_manifests.update(m.get("committed_batches_segments", []))
             for i in expired:
                 os.remove(os.path.join(self.root, "snapshots", f"snap-{i:06d}.json"))
+            # bucket-manifest GC: content-addressed manifests no retained
+            # snapshot points at (same grace as data files — a concurrent
+            # committer may have written its manifests but not yet swapped
+            # the `_current` pointer)
+            man_root = os.path.join(self.root, "manifests")
+            for fn in os.listdir(man_root):
+                if fn.endswith(".json") and fn not in referenced_manifests:
+                    full = os.path.join(man_root, fn)
+                    try:
+                        if _time.time() - os.path.getmtime(full) >= grace_seconds:
+                            os.remove(full)
+                    except FileNotFoundError:
+                        continue
             # orphan GC: unreferenced, old-enough data files
             deleted = 0
             now = _time.time()
             data_root = os.path.join(self.root, "data")
             for dirpath, _dn, fns in os.walk(data_root, topdown=False):
+                if "_temporary" in dirpath.split(os.sep):
+                    # Spark's in-flight task-attempt area: files here are
+                    # renamed into place at job commit, so any path we list
+                    # can vanish before we stat it — and they are never
+                    # orphans (the job commit or abort owns their lifecycle)
+                    continue
                 for fn in fns:
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, self.root)
                     if fn.endswith(".parquet") and rel not in referenced:
-                        if now - os.path.getmtime(full) >= grace_seconds:
-                            os.remove(full)
-                            deleted += 1
+                        try:
+                            if now - os.path.getmtime(full) >= grace_seconds:
+                                os.remove(full)
+                                deleted += 1
+                        except FileNotFoundError:
+                            # a concurrent writer renamed/removed it between
+                            # the walk listing and the stat — not an orphan
+                            continue
                 try:  # prune empty dirs left behind; the grace period
                     # applies to DIRECTORIES too — a concurrent writer's
                     # staging dir (data/w-<uuid>) is empty until its first

@@ -131,3 +131,101 @@ def test_overwrite_bootstrap(spark, tmp_path):
     # snapshot load then incremental on top
     t.merge_apply(_chg(spark, [("c2", 1, "y", _ts("2026-01-01T00:01:00"), "U", 1)]), "b1")
     assert t.read().count() == 2
+
+
+def test_two_level_manifests_reuse_and_gc(spark, tmp_path):
+    """Commit IO is O(changed buckets): the snapshot JSON stores per-bucket
+    pointers to content-addressed bucket manifests; a batch touching one
+    bucket writes ONE new bucket manifest and reuses every other pointer
+    verbatim, and expire_snapshots GCs bucket manifests no retained
+    snapshot references."""
+    import json
+    import os
+
+    root = str(tmp_path / "t2l")
+    t = ParquetSnapshotTableIO(spark, root, n_buckets=4)
+    t.init_empty(SCHEMA)
+    rows = [
+        (f"c{i}", 0, f"t{i}", _ts("2026-01-01T00:00:01"), "U", i) for i in range(40)
+    ]
+    t.merge_apply(_chg(spark, rows), "b1")
+    rec = t.merge_apply(
+        _chg(spark, [("c7", 0, "t7b", _ts("2026-01-01T00:00:09"), "U", 99)]), "b2"
+    )
+    assert len(rec["touched_buckets"]) == 1
+
+    def _raw(sid):
+        with open(os.path.join(root, "snapshots", f"snap-{sid:06d}.json")) as f:
+            return json.load(f)
+
+    sid = t.snapshot_id()
+    raw2, raw1 = _raw(sid), _raw(sid - 1)
+    # two-level layout: snapshot JSON carries pointers, not file entries
+    assert "files" not in raw2 and "files_manifests" in raw2
+    touched = {str(b) for b in rec["touched_buckets"]}
+    for b, fn in raw1["files_manifests"].items():
+        if b in touched:
+            assert raw2["files_manifests"][b] != fn
+        else:  # untouched buckets reuse the SAME manifest file (no rewrite)
+            assert raw2["files_manifests"][b] == fn
+    # materialized view is unchanged for callers
+    m = t.current_manifest()
+    assert set(m["files"]) == set(raw2["files_manifests"])
+    assert t.read().count() == 40
+
+    # GC: expire everything but the head; only its manifests survive
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    live = set(raw2["files_manifests"].values())
+    on_disk = {
+        fn for fn in os.listdir(os.path.join(root, "manifests"))
+        if fn.endswith(".json")
+    }
+    assert on_disk == live
+    assert t.read().count() == 40
+    # fresh handle (cold cache) resolves the same state
+    t2 = ParquetSnapshotTableIO(spark, root)
+    assert t2.read().count() == 40
+
+
+def test_ledger_segments_spill_and_roundtrip(tmp_path):
+    """lineage/committed_batches ledgers spill full 1024-entry segments to
+    content-addressed files: the snapshot JSON carries only the partial
+    tail (O(1) amortized commit IO, not O(batches)), consecutive commits
+    reuse the frozen segments verbatim, and readers see the full
+    materialized lists."""
+    import json
+    import os
+
+    root = str(tmp_path / "tledger")
+    t = ParquetSnapshotTableIO(None, root, n_buckets=4)
+    t.init_empty(SCHEMA)
+    n = 2600  # → 2 frozen segments + 552-entry tail
+
+    def _add(c):
+        def _mut(cur):
+            out = dict(cur)
+            out["committed_batches"] = [*cur["committed_batches"], f"b{c}"]
+            out["lineage"] = [*cur["lineage"], {"batch_id": f"b{c}", "mode": "mor"}]
+            return out
+        return _mut
+
+    for c in range(n):
+        t._commit_mutation(_add(c))
+
+    sid = t.snapshot_id()
+    with open(os.path.join(root, "snapshots", f"snap-{sid:06d}.json")) as f:
+        raw = json.load(f)
+    assert len(raw["committed_batches_segments"]) == 2
+    assert len(raw["committed_batches"]) == n - 2048
+    assert len(raw["lineage_segments"]) == 2
+    # frozen segments are reused verbatim by the previous commit
+    with open(os.path.join(root, "snapshots", f"snap-{sid - 1:06d}.json")) as f:
+        prev = json.load(f)
+    assert prev["committed_batches_segments"] == raw["committed_batches_segments"]
+    # materialized view is complete and ordered
+    assert t.committed_batches() == {f"b{c}" for c in range(n)}
+    m = t.current_manifest()
+    assert [r["batch_id"] for r in m["lineage"]] == [f"b{c}" for c in range(n)]
+    # a fresh handle (cold cache) reads the same ledger
+    t2 = ParquetSnapshotTableIO(None, root, n_buckets=4)
+    assert len(t2.current_manifest()["lineage"]) == n
