@@ -1281,6 +1281,52 @@ def _q_cdc_rebucket(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_point_lookup(spark, sf):
+    """SERVING-SIDE POINT LOOKUP oracle row (`read_key`; Kettle's nearest
+    notion is Database Lookup against the target table, SURVEY §2.3): after
+    a two-batch MoR replay, `read_key(7)` answers "the live rows of key
+    prefix 7" by listing ONE bucket from the manifest and pushing the
+    equality predicate through the LWW collapse into the parquet scan —
+    O(bucket) IO where a naive read is O(table). The DuckDB oracle is the
+    full-log windowed collapse filtered to user_id = 7."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_pl_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=None,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        for i in (0, 1):
+            apply_batch(
+                tio, ev.filter(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"pl-{i}",
+            )
+        out = tio.read_key(7)
+        # the lookup listed one bucket's files, not the table's
+        m = tio.current_manifest()
+        assert tio.last_scan["files_total"] < sum(
+            len(es) for es in m["files"].values()
+        ), tio.last_scan
+        out = out.select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_type_widen(spark, sf):
     """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
     to the table): batch A lands `value` truncated to INT, so the table
@@ -1932,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_recent_scan": _q_cdc_recent_scan,
         "cdc_rollback_replay": _q_cdc_rollback_replay,
         "cdc_rebucket": _q_cdc_rebucket,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
@@ -2609,6 +2656,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
             FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # the point lookup equals the full-log collapse filtered to the key;
+        # the Spark side lists one bucket and pushes the predicate to the scan
+        "cdc_point_lookup": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0 AND user_id = 7
         """,
         # winners of the FULL log whose version is newer than the cut; the
         # Spark side scans only files with footer lww_max > cut

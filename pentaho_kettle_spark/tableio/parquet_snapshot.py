@@ -478,6 +478,41 @@ class ParquetSnapshotTableIO:
             out = out.filter(F.col(self.lww_col) > F.lit(lww_after))
         return out.select(*names)
 
+    def read_key(self, key_value) -> DataFrame | None:
+        """Point lookup: the live rows of ONE primary key-prefix value
+        (e.g. every turn of a conversation) — the serving-side read a CDC
+        sink must answer cheaply.
+
+        IO is O(one bucket), not O(table): the key's bucket id is computed
+        driver-side with the same `xxhash64` the writer used (a one-row
+        constant-folded Spark job — bounded, like Iceberg's client-side
+        partition transform), only that bucket's files are listed from the
+        manifest, and the equality predicate is pushed below the LWW
+        collapse (Catalyst pushes grouping-key predicates through the
+        Aggregate) into the parquet scan, where row-group min/max stats
+        skip non-matching groups. At 4096 buckets a lookup touches ~0.02%
+        of the table's files."""
+        m = self.current_manifest()
+        if m is None:
+            return None
+        schema = TableSchema(**m["schema"])
+        # xxhash64 is TYPE-sensitive (int32 7 and int64 7 hash differently),
+        # so the literal must be cast to the key column's declared type or
+        # the driver-side bucket id diverges from the writer's
+        key_type = dict(zip(schema.names(),
+                            [f["type"] for f in schema.fields]))[self.key_cols[0]]
+        key_lit = F.lit(key_value).cast(key_type)
+        b = self.spark.range(1).select(
+            F.pmod(F.xxhash64(key_lit), F.lit(self.n_buckets))
+            .cast("int").alias("b")
+        ).first()["b"]
+        df = self.read_full(buckets=[b])
+        return (
+            df.filter(F.col(self.key_cols[0]) == key_lit)
+            .filter(~F.col(SYS_DELETED))
+            .select(*schema.names())
+        )
+
     def schema(self) -> TableSchema | None:
         m = self.current_manifest()
         return TableSchema(**m["schema"]) if m else None

@@ -229,3 +229,42 @@ def test_ledger_segments_spill_and_roundtrip(tmp_path):
     # a fresh handle (cold cache) reads the same ledger
     t2 = ParquetSnapshotTableIO(None, root, n_buckets=4)
     assert len(t2.current_manifest()["lineage"]) == n
+
+
+def test_read_key_point_lookup_scans_one_bucket(spark, tmp_path):
+    """read_key: O(one bucket) serving-side lookup — manifest lists only
+    the key's bucket, and the key equality predicate is pushed through the
+    LWW collapse into the parquet scan (row-group stats skip the rest)."""
+    from pentaho_kettle_spark.plans.explain import pushed_filters
+
+    t = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "tpk"), n_buckets=8, write_mode="mor",
+        compact_delta_files=None,
+    )
+    t.init_empty(SCHEMA)
+    rows = [
+        (f"c{i}", j, f"t{i}.{j}", _ts("2026-01-01T00:00:01"), "U", i * 10 + j)
+        for i in range(30)
+        for j in range(3)
+    ]
+    t.merge_apply(_chg(spark, rows), "b1")
+    # newer version of one turn + a tombstone on another conversation
+    t.merge_apply(
+        _chg(spark, [
+            ("c7", 1, "t7.1-new", _ts("2026-01-01T00:00:09"), "U", 900),
+            ("c9", 0, None, _ts("2026-01-01T00:00:09"), "D", 901),
+        ]),
+        "b2",
+    )
+    df = t.read_key("c7")
+    got = {(r.turn_idx, r.text) for r in df.collect()}
+    assert got == {(0, "t7.0"), (1, "t7.1-new"), (2, "t7.2")}
+    # only c7's bucket was listed from the manifest
+    m = t.current_manifest()
+    total_files = sum(len(es) for es in m["files"].values())
+    scanned = m and (t.last_scan["files_total"])
+    assert scanned < total_files
+    # the equality predicate reached the parquet scan
+    assert any("conv_id" in f for f in pushed_filters(df))
+    # the tombstoned turn is suppressed; the conversation's other turns live
+    assert {r.turn_idx for r in t.read_key("c9").collect()} == {1, 2}
