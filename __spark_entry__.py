@@ -1281,6 +1281,54 @@ def _q_cdc_rebucket(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_branch_wap(spark, sf):
+    """BRANCH WRITE-AUDIT-PUBLISH oracle row (Iceberg branch refs; Kettle
+    jobs have no staging concept — a failed validation means re-running the
+    transformation): replay batch A to main, stage batch B on branch
+    "audit" — main's readers still see only A — audit the branch state,
+    then `fast_forward` main, a pure pointer swap. Final main state must
+    equal the full-log collapse, and the staged batch must be absent from
+    main's ledger until the publish. Oracle: windowed LWW collapse of the
+    full log."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_wap_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=16,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        apply_batch(tio, ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 0),
+                    batch_id="wap-a")
+        main_head = tio.snapshot_id()
+        br = tio.branch("audit")
+        apply_batch(br, ev.filter(F.pmod(F.col("seq"), F.lit(2)) == 1),
+                    batch_id="wap-b")
+        # staged commit is invisible to main until the publish
+        assert tio.snapshot_id() == main_head
+        assert "wap-b" not in tio.committed_batches()
+        assert "wap-b" in br.committed_batches()
+        tio.fast_forward("audit")
+        assert "wap-b" in tio.committed_batches()
+        out = tio.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_point_lookup(spark, sf):
     """SERVING-SIDE POINT LOOKUP oracle row (`read_key`; Kettle's nearest
     notion is Database Lookup against the target table, SURVEY §2.3): after
@@ -1978,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_recent_scan": _q_cdc_recent_scan,
         "cdc_rollback_replay": _q_cdc_rollback_replay,
         "cdc_rebucket": _q_cdc_rebucket,
+        "cdc_branch_wap": _q_cdc_branch_wap,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
@@ -2649,6 +2698,17 @@ def oracle_sql() -> dict[str, str]:
         # the layout rewrite (4 -> 16 buckets mid-replay) must be invisible:
         # the table equals the plain full-log collapse
         "cdc_rebucket": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # staged branch + fast-forward publish must be invisible in the final
+        # state: main equals the plain full-log collapse
+        "cdc_branch_wap": """
             WITH win AS (
               SELECT user_id, event_type, value, ts, event_id,
                      row_number() OVER (PARTITION BY user_id, event_type

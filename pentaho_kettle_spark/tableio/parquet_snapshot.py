@@ -50,6 +50,10 @@ SYS_SEQ = "_seq"
 SYS_DELETED = "_deleted"
 SYS_COLS = (SYS_SEQ, SYS_DELETED)
 
+import re as _re
+
+_BRANCH_NAME_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
 
 def _del_rows(pf) -> int:
     """Tombstone count of a just-written parquet file: row-group statistics
@@ -241,7 +245,10 @@ class ParquetSnapshotTableIO:
     # ---------- manifest plumbing ----------
 
     def _current_path(self) -> str:
-        return os.path.join(self.root, "_current")
+        # "_current" for main; "_branch-<name>" for a branch handle — the
+        # ONE indirection every read and commit goes through, which is what
+        # makes branches free to layer on (see branch()).
+        return os.path.join(self.root, getattr(self, "_pointer_name", "_current"))
 
     def current_manifest(self) -> dict | None:
         p = self._current_path()
@@ -360,7 +367,12 @@ class ParquetSnapshotTableIO:
         with self._commit_lock, self._process_lock():
             m = self.current_manifest()
             m2 = mutate(m)
-            m2["snapshot_id"] = m["snapshot_id"] + 1
+            # ids are allocated GLOBALLY (max on disk + 1, under the commit
+            # lock), not head+1: a staging branch and main interleave
+            # commits, and two chains minting head+1 would collide on the
+            # same snapshot file. Chains are defined by `parent`, not by id
+            # contiguity (Iceberg's snapshot ids are likewise chain-free).
+            m2["snapshot_id"] = max(self.snapshot_ids(), default=-1) + 1
             m2["parent"] = m["snapshot_id"]
             self._commit(m2)
             return m2
@@ -1203,6 +1215,87 @@ class ParquetSnapshotTableIO:
         m = self._commit_mutation(_mutate)
         return {"snapshot_id": m["snapshot_id"], "rolled_back_to": sid}
 
+    # ---------- branches (Iceberg branch refs) ----------
+
+    def branch(self, name: str, create: bool = True) -> "ParquetSnapshotTableIO":
+        """A writable handle on a named branch — the full write-audit-publish
+        pattern: commit batches to `branch("audit")`, validate its `read()`,
+        then `fast_forward("audit")` main. Until then, main's readers never
+        see the staged commits (Iceberg's branch refs + WAP workflow).
+
+        The branch is just another head pointer file (`_branch-<name>`)
+        over the same snapshot/manifest store; the returned handle shares
+        this handle's commit lock (and the cross-process flock — both
+        pointers live in the same table root), so branch and main
+        committers serialize exactly like any two writers. Data files are
+        shared structurally: a branch commit rewrites only its touched
+        buckets' manifests, like any commit."""
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid branch name {name!r}")
+        import copy
+
+        ptr = os.path.join(self.root, f"_branch-{name}")
+        with self._commit_lock, self._process_lock():
+            if not os.path.exists(ptr):
+                if not create:
+                    raise ValueError(f"unknown branch {name!r}")
+                with open(self._current_path()) as f:
+                    head = f.read().strip()
+                tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(head)
+                os.rename(tmp, ptr)
+        b = copy.copy(self)  # shares locks, spark, manifest cache
+        b._pointer_name = f"_branch-{name}"
+        m = b.current_manifest()
+        if m is not None and "n_buckets" in m:
+            b.n_buckets = int(m["n_buckets"])
+        return b
+
+    def branches(self) -> dict[str, int]:
+        """{branch_name: head snapshot id} for every branch pointer."""
+        out: dict[str, int] = {}
+        for fn in os.listdir(self.root):
+            if fn.startswith("_branch-") and ".tmp-" not in fn:
+                with open(os.path.join(self.root, fn)) as f:
+                    out[fn[len("_branch-"):]] = int(f.read().strip()[5:-5])
+        return out
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch: move THIS handle's head to the branch head,
+        iff this head is an ancestor of it (walked over `parent` pointers).
+        A diverged head (commits landed here since the fork) raises — the
+        caller rebases by re-applying its batches onto the branch, exactly
+        as Iceberg's fast_forward fails on non-ancestors. The swap is a
+        pointer rename: no data or manifest IO at all."""
+        with self._commit_lock, self._process_lock():
+            heads = self.branches()
+            if name not in heads:
+                raise ValueError(f"unknown branch {name!r} (have: {sorted(heads)})")
+            target = heads[name]
+            mine = self.snapshot_id()
+            sid = target
+            while sid is not None and sid > mine:
+                sid = self.manifest_at(sid).get("parent")
+            if sid != mine:
+                raise RuntimeError(
+                    f"cannot fast-forward: head {mine} is not an ancestor of "
+                    f"branch {name!r} head {target}; re-apply local commits "
+                    "onto the branch"
+                )
+            tmp = self._current_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(f"snap-{target:06d}.json")
+            os.rename(tmp, self._current_path())
+        return {"fast_forwarded_to": target, "from": mine}
+
+    def drop_branch(self, name: str) -> None:
+        with self._commit_lock, self._process_lock():
+            try:
+                os.remove(os.path.join(self.root, f"_branch-{name}"))
+            except FileNotFoundError:
+                pass
+
     # ---------- metadata tables (Iceberg .snapshots / .files analog) -----
 
     def meta_snapshots(self) -> DataFrame:
@@ -1446,6 +1539,7 @@ class ParquetSnapshotTableIO:
             ids = self.snapshot_ids()
             floor_id = cur["snapshot_id"] - max(keep_last - 1, 0)
             tagged = set(self.refs().values())  # tags pin snapshots (Iceberg)
+            tagged.update(self.branches().values())  # branch heads pin too
             expired = [i for i in ids if i < floor_id and i not in tagged]
             retained = [i for i in ids if i >= floor_id or i in tagged]
             referenced: set[str] = set()

@@ -268,3 +268,59 @@ def test_read_key_point_lookup_scans_one_bucket(spark, tmp_path):
     assert any("conv_id" in f for f in pushed_filters(df))
     # the tombstoned turn is suppressed; the conversation's other turns live
     assert {r.turn_idx for r in t.read_key("c9").collect()} == {1, 2}
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """Iceberg-branch WAP: commits staged on a branch are invisible to
+    main until fast_forward; divergence fails the publish; expiry pins
+    branch heads."""
+    import pytest as _pytest
+
+    t = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "tbr"), n_buckets=4, write_mode="mor",
+        compact_delta_files=None,
+    )
+    t.init_empty(SCHEMA)
+    t.merge_apply(
+        _chg(spark, [(f"c{i}", 0, f"a{i}", _ts("2026-01-01T00:00:01"), "U", i)
+                     for i in range(10)]),
+        "wap-a",
+    )
+    br = t.branch("audit")
+    br.merge_apply(
+        _chg(spark, [(f"c{i}", 1, f"b{i}", _ts("2026-01-01T00:00:02"), "U", 100 + i)
+                     for i in range(10)]),
+        "wap-b",
+    )
+    # staged commits invisible to main; visible on the branch
+    assert t.read().count() == 10
+    assert br.read().count() == 20
+    assert "wap-b" not in t.committed_batches()
+    assert "wap-b" in br.committed_batches()
+    # publish: pointer swap only
+    res = t.fast_forward("audit")
+    assert res["fast_forwarded_to"] == br.snapshot_id()
+    assert t.read().count() == 20
+    assert "wap-b" in t.committed_batches()
+
+    # divergence: a commit on main after the fork fails the fast-forward
+    br2 = t.branch("audit2")
+    br2.merge_apply(
+        _chg(spark, [("cX", 0, "x", _ts("2026-01-01T00:00:03"), "U", 500)]), "d1"
+    )
+    t.merge_apply(
+        _chg(spark, [("cY", 0, "y", _ts("2026-01-01T00:00:03"), "U", 501)]), "d2"
+    )
+    with _pytest.raises(RuntimeError, match="not an ancestor"):
+        t.fast_forward("audit2")
+
+    # expiry pins the (now diverged) branch head and its files
+    for i in range(4):
+        t.merge_apply(
+            _chg(spark, [("cZ", i, f"z{i}", _ts("2026-01-01T00:00:04"), "U", 600 + i)]),
+            f"adv-{i}",
+        )
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    assert br2.read().count() == 21  # branch state fully readable post-expiry
+    t.drop_branch("audit2")
+    assert "audit2" not in t.branches()
