@@ -1375,6 +1375,49 @@ def _q_cdc_point_lookup(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_delete_where(spark, sf):
+    """BULK PREDICATE DELETE oracle row (`delete_where`, the GDPR-erasure /
+    retention primitive; Kettle's Delete step is row-stream-driven, SURVEY
+    §2.1 — here the predicate drives the scan): replay the log, then erase
+    every live key whose winning version is a 'purchase' event. Tombstones
+    ride the normal merge path (same lww, next seq — beating exactly the
+    erased version), so the final state equals the full-log collapse with
+    purchase-winners filtered out. Oracle: windowed collapse WHERE the
+    winner is not a purchase."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_dw_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=16,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        for i in (0, 1):
+            apply_batch(
+                tio, ev.filter(F.pmod(F.col("seq"), F.lit(2)) == i),
+                batch_id=f"dw-{i}",
+            )
+        rec = tio.delete_where("event_type = 'purchase'", batch_id="dw-erase")
+        assert rec["metrics"]["tombstones"] > 0, rec
+        out = tio.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_type_widen(spark, sf):
     """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
     to the table): batch A lands `value` truncated to INT, so the table
@@ -2028,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rebucket": _q_cdc_rebucket,
         "cdc_branch_wap": _q_cdc_branch_wap,
         "cdc_point_lookup": _q_cdc_point_lookup,
+        "cdc_delete_where": _q_cdc_delete_where,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
@@ -2716,6 +2760,18 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
             FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # erase winners matching the predicate; everything else unchanged
+        "cdc_delete_where": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win
+            WHERE rn = 1 AND event_id % 11 <> 0
+              AND event_type <> 'purchase'
         """,
         # the point lookup equals the full-log collapse filtered to the key;
         # the Spark side lists one bucket and pushes the predicate to the scan

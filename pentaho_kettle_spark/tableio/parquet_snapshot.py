@@ -685,6 +685,49 @@ class ParquetSnapshotTableIO:
 
     # ---------- MERGE (the CDC apply) ----------
 
+    def delete_where(self, predicate, batch_id: str | None = None) -> dict:
+        """Bulk predicate delete (GDPR erasure / retention sweeps): tombstone
+        every live row matching `predicate` (a SQL string or Column), as one
+        ordinary exactly-once commit.
+
+        Built ON the merge path, not beside it: matching live rows become a
+        delete changelog carrying each row's own lww value with
+        `_seq = seq_high_watermark + 1`, so each tombstone beats exactly the
+        version it erases under the (lww, _seq) order — a concurrent NEWER
+        update (greater lww) still wins, which is the correct race outcome
+        for an erasure sweep. Scan cost is the predicate's: Catalyst pushes
+        it into the parquet scan, and only buckets with matching keys are
+        touched by the merge (MoR writes tombstone deltas; CoW rewrites
+        matched buckets)."""
+        m = self.current_manifest()
+        if m is None:
+            raise RuntimeError("table not initialized; call init_empty first")
+        names = TableSchema(**m["schema"]).names()
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        live = self.read_full().filter(~F.col(SYS_DELETED)).filter(pred)
+        # the tombstone's seq must STRICTLY beat every erased version: the
+        # stored watermark alone is not enough (tables loaded without
+        # replay's watermark tracking keep -1), so take the matched rows'
+        # own max _seq too — one scalar aggregate over the predicate scan
+        hw = m.get("seq_high_watermark", -1)
+        mx = live.agg(F.max(SYS_SEQ)).first()[0]
+        hw = max(hw, mx if mx is not None else -1)
+        changes = live.select(
+            *names, F.lit("D").alias("op"),
+            F.lit(hw + 1).cast("long").alias(SYS_SEQ),
+        )
+        return self.merge_apply(changes, batch_id=batch_id,
+                                seq_high_watermark=hw + 1)
+
+    def delete_older_than(self, cutoff, batch_id: str | None = None) -> dict:
+        """Retention sweep: erase keys whose CURRENT winning version is
+        older than `cutoff` (a value of the lww column's type). Sugar over
+        delete_where; footer lww bounds do not prune here (old files are
+        exactly the targets), but the scan is still column-pruned to the
+        key + lww columns by Catalyst."""
+        return self.delete_where(F.col(self.lww_col) < F.lit(cutoff),
+                                 batch_id=batch_id)
+
     def merge_apply(
         self,
         changes: DataFrame,

@@ -324,3 +324,43 @@ def test_branch_write_audit_publish(spark, tmp_path):
     assert br2.read().count() == 21  # branch state fully readable post-expiry
     t.drop_branch("audit2")
     assert "audit2" not in t.branches()
+
+
+def test_delete_where_and_retention(spark, tmp_path):
+    """Bulk predicate delete rides the merge path: matched live rows get
+    tombstones that beat exactly the erased version (same lww, next seq) —
+    older zombies stay dead, genuinely newer updates still win."""
+    t = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "tdw"), n_buckets=4, write_mode="mor",
+        compact_delta_files=None,
+    )
+    t.init_empty(SCHEMA)
+    t.merge_apply(
+        _chg(spark, [
+            ("c1", 0, "keep", _ts("2026-01-01T00:00:01"), "U", 1),
+            ("c2", 0, "erase-me", _ts("2026-01-01T00:00:02"), "U", 2),
+            ("c3", 0, "erase-me", _ts("2026-01-01T00:00:03"), "U", 3),
+            ("c4", 0, "old", _ts("2025-06-01T00:00:00"), "U", 4),
+        ]),
+        "b1",
+    )
+    rec = t.delete_where("text = 'erase-me'", batch_id="gdpr-1")
+    assert rec["metrics"]["tombstones"] == 2
+    assert {r.conv_id for r in t.read().collect()} == {"c1", "c4"}
+    # exactly-once: same batch id skips
+    assert "skipped_duplicate_batch" in t.delete_where(
+        "text = 'erase-me'", batch_id="gdpr-1"
+    )
+    # an older replayed update of an erased key stays dead...
+    t.merge_apply(
+        _chg(spark, [("c2", 0, "zombie", _ts("2026-01-01T00:00:01"), "U", 1)]), "b2"
+    )
+    assert "c2" not in {r.conv_id for r in t.read().collect()}
+    # ...a genuinely newer update wins over the tombstone
+    t.merge_apply(
+        _chg(spark, [("c3", 0, "reborn", _ts("2026-01-02T00:00:00"), "U", 50)]), "b3"
+    )
+    assert {r.text for r in t.read().collect()} == {"keep", "old", "reborn"}
+    # retention sweep erases keys whose winner is older than the cutoff
+    t.delete_older_than(_ts("2026-01-01T00:00:00"), batch_id="ret-1")
+    assert {r.text for r in t.read().collect()} == {"keep", "reborn"}
