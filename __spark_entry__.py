@@ -1418,6 +1418,53 @@ def _q_cdc_delete_where(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_patch_upsert(spark, sf):
+    """SPARSE / PARTIAL-COLUMN UPSERT oracle row (`patch_apply` — Hudi's
+    partial-update payload; Kettle's Insert/Update step with an
+    update-fields subset, SURVEY §2.1): every event becomes a PATCH
+    touching a subset of {value, label} (NULL = leave alone), applied in
+    two time-ordered batches. With in-order delivery the final table is
+    the pure column-LWW fold of the log — per key, each column holds its
+    latest NON-NULL value and the row's lww is the key's max (ts, seq) —
+    which the DuckDB oracle computes with first_value(... IGNORE NULLS)
+    windows."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("L"), (F.col("event_id") % 7).cast("string")))
+        .alias("label"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("_seq"),
+    )
+    cut = dt.datetime(2024, 1, 20)
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_patch_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=16,
+        )
+        tio.init_empty(
+            ev.select("user_id", "event_type", "value", "label", "ts").schema
+        )
+        tio.patch_apply(ev.filter(F.col("ts") <= F.lit(cut)), batch_id="patch-a")
+        tio.patch_apply(ev.filter(F.col("ts") > F.lit(cut)), batch_id="patch-b")
+        out = tio.read().select(
+            "user_id", "event_type", "value", "label", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_type_widen(spark, sf):
     """TYPE-WIDEN evolution oracle row (north-rule: 'type-widen' propagated
     to the table): batch A lands `value` truncated to INT, so the table
@@ -2072,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_branch_wap": _q_cdc_branch_wap,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_delete_where": _q_cdc_delete_where,
+        "cdc_patch_upsert": _q_cdc_patch_upsert,
         "cdc_type_widen": _q_cdc_type_widen,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
@@ -2760,6 +2808,26 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
             FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # column-LWW fold: per key each column keeps its latest NON-NULL
+        # value; row ts is the key's max (ts, seq)
+        "cdc_patch_upsert": """
+            WITH p AS (
+              SELECT user_id, event_type,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS pv,
+                     CASE WHEN event_id % 3 = 0 THEN NULL
+                          ELSE 'L' || CAST(event_id % 7 AS VARCHAR) END AS pl,
+                     ts, event_id
+              FROM events)
+            SELECT DISTINCT user_id, event_type,
+                   first_value(pv IGNORE NULLS) OVER w AS value,
+                   first_value(pl IGNORE NULLS) OVER w AS label,
+                   epoch_us(first_value(ts) OVER w) AS ts_us
+            FROM p
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
         """,
         # erase winners matching the predicate; everything else unchanged
         "cdc_delete_where": """

@@ -728,6 +728,116 @@ class ParquetSnapshotTableIO:
         return self.delete_where(F.col(self.lww_col) < F.lit(cutoff),
                                  batch_id=batch_id)
 
+    def patch_apply(
+        self,
+        patches: DataFrame,
+        batch_id: str | None = None,
+        seq_high_watermark: int | None = None,
+    ) -> dict:
+        """Sparse / partial-column upserts (Hudi's partial-update payload;
+        Debezium PATCH-style events): each patch row carries the key, the
+        lww value, `_seq`, and any subset of payload columns — NULL means
+        "leave that column alone". Resolution, in order:
+
+          1. within the batch, patches fold COLUMN-WISE per key: latest
+             non-null value per column under the (lww, _seq) order;
+          2. the fold joins the stored state of ONLY the touched buckets;
+             a fold at or below the stored winner's (lww, _seq) is dropped
+             whole (the same row-level staleness gate as merge_apply);
+          3. unpatched columns inherit from the stored row iff it is LIVE —
+             values never leak through a tombstone (a patch after a delete
+             resurrects the key with only its own columns);
+
+        and the resolved FULL rows ride the normal merge path (op=U), so
+        storage stays row-LWW and readers/compactors are untouched. Patch
+        semantics are defined relative to APPLY order, like Hudi: with
+        in-order delivery the result equals the pure column-LWW fold of
+        the log (which is what the oracle computes).
+
+        Cost: one exchange for the fold, a bucket-pruned join against the
+        stored state (the same IO class as a CoW merge of those buckets),
+        then the merge itself."""
+        from pyspark.sql import Window
+
+        m = self.current_manifest()
+        if m is None:
+            raise RuntimeError("table not initialized; call init_empty first")
+        if batch_id is not None and batch_id in set(m["committed_batches"]):
+            return {"skipped_duplicate_batch": batch_id}
+        schema = TableSchema(**m["schema"])
+        names = schema.names()
+        key = list(self.key_cols)
+        lww = self.lww_col
+        payload = [c for c in names if c not in key and c != lww]
+
+        w = (
+            Window.partitionBy(*key)
+            .orderBy(F.col(lww).desc(), F.col(SYS_SEQ).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        fold = (
+            patches.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*key)
+                    .orderBy(F.col(lww).desc(), F.col(SYS_SEQ).desc())
+                ),
+            )
+            .select(
+                *key,
+                F.col(lww).alias("_p_lww"),
+                F.col(SYS_SEQ).alias("_p_seq"),
+                "_rn",
+                *[
+                    F.first(F.col(c), ignorenulls=True).over(w).alias(f"_p_{c}")
+                    for c in payload
+                ],
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # stored state of the touched buckets only (bounded collect: ≤
+        # n_buckets ints — the same prune the CoW merge performs)
+        touched = [
+            r["b"]
+            for r in patches.select(
+                bucket_expr(key[0], self.n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        stored = self.read_full(buckets=touched)
+        stored_sel = stored.select(
+            *key,
+            F.col(lww).alias("_s_lww"),
+            F.col(SYS_SEQ).alias("_s_seq"),
+            F.col(SYS_DELETED).alias("_s_del"),
+            *[F.col(c).alias(f"_s_{c}") for c in payload],
+        )
+        j = fold.join(stored_sel, on=key, how="left")
+        fresh = j.filter(
+            F.col("_s_lww").isNull()
+            | (
+                F.struct(F.col("_p_lww"), F.col("_p_seq"))
+                > F.struct(F.col("_s_lww"), F.col("_s_seq"))
+            )
+        )
+        live = F.col("_s_lww").isNotNull() & ~F.coalesce(F.col("_s_del"), F.lit(False))
+        resolved = fresh.select(
+            *key,
+            F.col("_p_lww").alias(lww),
+            *[
+                F.when(live, F.coalesce(F.col(f"_p_{c}"), F.col(f"_s_{c}")))
+                .otherwise(F.col(f"_p_{c}"))
+                .alias(c)
+                for c in payload
+            ],
+            F.lit("U").alias("op"),
+            F.col("_p_seq").alias(SYS_SEQ),
+        ).select(*names, "op", SYS_SEQ)
+        return self.merge_apply(
+            resolved, batch_id=batch_id, seq_high_watermark=seq_high_watermark
+        )
+
     def merge_apply(
         self,
         changes: DataFrame,

@@ -364,3 +364,84 @@ def test_delete_where_and_retention(spark, tmp_path):
     # retention sweep erases keys whose winner is older than the cutoff
     t.delete_older_than(_ts("2026-01-01T00:00:00"), batch_id="ret-1")
     assert {r.text for r in t.read().collect()} == {"keep", "reborn"}
+
+
+def test_patch_apply_partial_columns(spark, tmp_path):
+    """Sparse upserts: NULL columns inherit from the live stored row,
+    patches fold column-wise within a batch, stale patches drop whole, and
+    values never leak through a tombstone."""
+    schema4 = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def _p(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, _seq long",
+        )
+
+    def _c(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, op string, _seq long",
+        )
+
+    t = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "tpatch"), key_cols=("conv_id", "turn_idx"),
+        n_buckets=4, write_mode="mor", compact_delta_files=None,
+    )
+    t.init_empty(schema4)
+    t.merge_apply(
+        _c([("c1", 0, "user", "hello", None, _ts("2026-01-01T00:00:01"), "U", 1)]),
+        "b1",
+    )
+    # patch only text; role survives
+    t.patch_apply(
+        _p([("c1", 0, None, "hello v2", None, _ts("2026-01-01T00:00:02"), 2)]), "p1"
+    )
+    r = t.read().collect()[0]
+    assert (r.role, r.text, r.tool) == ("user", "hello v2", None)
+    # patch only tool; text v2 survives
+    t.patch_apply(
+        _p([("c1", 0, None, None, "calc", _ts("2026-01-01T00:00:03"), 3)]), "p2"
+    )
+    r = t.read().collect()[0]
+    assert (r.role, r.text, r.tool) == ("user", "hello v2", "calc")
+    # stale patch (older than stored winner) drops whole — no column applies
+    t.patch_apply(
+        _p([("c1", 0, "ghost", "ghost", None, _ts("2026-01-01T00:00:01"), 9)]), "p3"
+    )
+    r = t.read().collect()[0]
+    assert (r.role, r.text, r.tool) == ("user", "hello v2", "calc")
+    # within-batch column-wise fold: text from T6, role from T7
+    t.patch_apply(
+        _p([
+            ("c1", 0, None, "from-t6", None, _ts("2026-01-01T00:00:06"), 6),
+            ("c1", 0, "system", None, None, _ts("2026-01-01T00:00:07"), 7),
+        ]),
+        "p4",
+    )
+    r = t.read().collect()[0]
+    assert (r.role, r.text, r.tool) == ("system", "from-t6", "calc")
+    # no inheritance through a tombstone
+    t.merge_apply(
+        _c([("c1", 0, None, None, None, _ts("2026-01-01T00:00:08"), "D", 8)]), "b2"
+    )
+    t.patch_apply(
+        _p([("c1", 0, None, "reborn", None, _ts("2026-01-01T00:00:09"), 10)]), "p5"
+    )
+    r = t.read().collect()[0]
+    assert (r.role, r.text, r.tool) == (None, "reborn", None)
+    # exactly-once batch skip
+    assert "skipped_duplicate_batch" in t.patch_apply(
+        _p([("c1", 0, "x", None, None, _ts("2026-01-01T00:00:10"), 11)]), "p5"
+    )
