@@ -653,6 +653,24 @@ def _q_minhash_dedup(spark, sf):
     return kept.select("doc_id", "n_chars")
 
 
+def _q_dedup_clusters(spark, sf):
+    """NEAR-DUP CLUSTERING oracle row: LSH bucket-star edges →
+    connected_components (min-label propagation with pointer jumping,
+    log-round convergence) → (node, component = min reachable id). The
+    step between candidate pairs and "keep one canonical doc per cluster";
+    the DuckDB twin walks the identical edge set with an exact recursive
+    transitive closure."""
+    d = _t(spark, sf, "documents")
+    edges = fdedup.minhash_lsh_edges(
+        d, "text", "doc_id", num_hashes=32, bands=8, hash_fn=phash64
+    )
+    cc = fdedup.connected_components(edges, src="doc_id", dst="dup_of")
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _q_simhash_candidates(spark, sf):
     d = _t(spark, sf, "documents")
     out = fdedup.simhash_candidates(
@@ -2126,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_apply": _q_cdc_merge_apply,
         "insert_update_delete": _q_insert_update_delete,
         "minhash_dedup": _q_minhash_dedup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_candidates": _q_simhash_candidates,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -2942,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, seq, value, batch FROM w WHERE seq > hw
         """,
         "minhash_dedup": osql.minhash_keep_sql(num_hashes=32, bands=8, k_shingle=5),
+        "dedup_clusters": osql.minhash_clusters_sql(num_hashes=32, bands=8, k_shingle=5),
         "simhash_candidates": osql.simhash_candidates_sql(
             max_hamming=8, k_shingle=3, n_bits=60, n_chunks=4
         ),

@@ -154,6 +154,114 @@ def minhash_lsh_dedup(
     return pairs
 
 
+def minhash_lsh_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 5,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Candidate near-dup EDGES (id, rep) — one star per LSH bucket, rooted
+    at the bucket's min id. Same banding as minhash_lsh_dedup but without
+    the final per-id min, so the full co-bucket relation survives for
+    clustering: two docs share a component iff a bucket chain links them.
+    Edge count is Σ(bucket size − 1) ≤ bands × docs — linear, never the
+    quadratic all-pairs within a bucket."""
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures_exploded(
+        df, text_col, id_col, num_hashes, k_shingle, hash_fn
+    )
+    band_rows = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hash_fn(
+                        F.concat_ws(",", *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ])
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    rep = band_rows.groupBy("band", "bucket").agg(F.min(id_col).alias("_rep"))
+    return (
+        band_rows.join(rep, on=["band", "bucket"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col), F.col("_rep").alias("dup_of"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id",
+    dst: str = "dup_of",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) where
+    component = the min node id reachable — the step between LSH candidate
+    pairs and "keep one canonical doc per duplicate cluster".
+
+    Min-label propagation WITH pointer jumping (label ← label's label each
+    round, the hash-to-min trick): rounds grow with log(diameter), not
+    diameter, so a 10^9-node near-dup graph (diameter rarely > a few
+    hundred) converges in ≤ ~10 rounds of 3 shuffles each. Per round the
+    lineage is truncated (localCheckpoint) exactly like closure_generator
+    — iterative plans otherwise nest past the planner's depth. The
+    convergence check is one bounded count() per round (driver scalar)."""
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nl = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("_nl"))
+            .withColumnRenamed("a", "node")
+        )
+        merged = labels.join(nl, on="node", how="left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
+        )
+        lab2 = merged.select(F.col("node").alias("_n2"), F.col("label").alias("_l2"))
+        jumped = (
+            merged.join(lab2, merged["label"] == lab2["_n2"], how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_l2"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("j")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("j.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def minhash_lsh_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
     """Convenience: drop near-duplicates, keeping each cluster's smallest id."""
     dups = minhash_lsh_dedup(df, text_col, id_col, **kw)

@@ -73,6 +73,48 @@ def minhash_keep_sql(num_hashes: int = 32, bands: int = 8, k_shingle: int = 5) -
     """
 
 
+def minhash_clusters_sql(num_hashes: int = 32, bands: int = 8, k_shingle: int = 5) -> str:
+    """Twin of minhash_lsh_edges + connected_components: the same per-bucket
+    star edges, then component = min reachable node via a recursive
+    transitive closure (exact — fine at oracle scale; the Spark side uses
+    log-round label propagation instead)."""
+    coeffs = _minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ",\n            ".join(
+        f"min((sm * {a} + {b}) % {_MERSENNE}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = []
+    for b in range(bands):
+        hs = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        cat = " || ',' || ".join(f"{h}::VARCHAR" for h in hs)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {phash64_sql(cat)} AS bucket FROM sig"
+        )
+    band_rows = "\n          UNION ALL ".join(band_selects)
+    return f"""
+        WITH RECURSIVE {_shingle_cte(k_shingle)},
+        ex AS (SELECT doc_id, unnest(shingles) % {_MERSENNE} AS sm FROM sh),
+        sig AS (
+          SELECT doc_id,
+            {mins}
+          FROM ex GROUP BY doc_id),
+        band_rows AS (
+          {band_rows}),
+        rep AS (SELECT band, bucket, min(doc_id) AS rep
+                FROM band_rows GROUP BY band, bucket),
+        e0 AS (SELECT DISTINCT br.doc_id AS a, rep.rep AS b
+               FROM band_rows br JOIN rep USING (band, bucket)
+               WHERE br.doc_id <> rep.rep),
+        edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        reach(s, t) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+        SELECT s AS node, least(s, min(t)) AS component
+        FROM reach GROUP BY s
+    """
+
+
 def simhash_candidates_sql(
     max_hamming: int = 8, k_shingle: int = 3, n_bits: int = 60, n_chunks: int = 4
 ) -> str:

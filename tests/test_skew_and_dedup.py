@@ -174,3 +174,24 @@ def test_ivf_topk_recall_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation with pointer jumping: a 6-node chain (worst
+    case for plain propagation) resolves to one component in log rounds,
+    islands stay separate."""
+    from pentaho_kettle_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 22)],
+        "doc_id long, dup_of long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs, "doc_id", "dup_of").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
