@@ -671,6 +671,36 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+def _q_pii_redaction(spark, sf):
+    """PII REDACTION oracle row (training-data hygiene; no Kettle analog —
+    closest is Replace-in-string, SURVEY §2.2, with a fixed pattern): the
+    corpus is deterministically booby-trapped with an email, an SSN, a
+    phone number, and an IPv4 per doc, then scrubbed with redact_pii
+    (chained codegen regexp_replace, patterns restricted to the Java-regex
+    ∩ RE2 subset) and audited with pii_hit_counts. The DuckDB twin builds
+    the identical strings and applies the identical patterns with 'g'."""
+    from pentaho_kettle_spark.functions.text import pii_hit_counts, redact_pii
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    booby = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-4567, ssn 123-45-6789, host 10.0."),
+        (F.col("doc_id") % 255).cast("string"), F.lit(".7"),
+    )
+    hits = pii_hit_counts(booby)
+    return d.select(
+        "doc_id",
+        redact_pii(booby).alias("redacted"),
+        hits["email"].cast("long").alias("n_email"),
+        hits["ssn"].cast("long").alias("n_ssn"),
+        hits["phone"].cast("long").alias("n_phone"),
+        hits["ipv4"].cast("long").alias("n_ip"),
+    )
+
+
 def _q_simhash_candidates(spark, sf):
     d = _t(spark, sf, "documents")
     out = fdedup.simhash_candidates(
@@ -2145,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_update_delete": _q_insert_update_delete,
         "minhash_dedup": _q_minhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "pii_redaction": _q_pii_redaction,
         "simhash_candidates": _q_simhash_candidates,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
@@ -2962,6 +2993,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup": osql.minhash_keep_sql(num_hashes=32, bands=8, k_shingle=5),
         "dedup_clusters": osql.minhash_clusters_sql(num_hashes=32, bands=8, k_shingle=5),
+        # identical booby-trapped strings, identical Java∩RE2 patterns
+        "pii_redaction": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-4567, ssn 123-45-6789, host 10.0.'
+                          || CAST(doc_id % 255 AS VARCHAR) || '.7' AS t
+              FROM documents WHERE doc_id < 500)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+                   len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ip
+            FROM b
+        """,
         "simhash_candidates": osql.simhash_candidates_sql(
             max_hamming=8, k_shingle=3, n_bits=60, n_chunks=4
         ),

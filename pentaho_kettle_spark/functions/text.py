@@ -79,3 +79,40 @@ def add_text_features(df: DataFrame, text_col: str = "text", hash_fn=F.xxhash64)
         .withColumn("lang_pred", language_id(c))
         .withColumn("fingerprint", fingerprint(c, hash_fn=hash_fn))
     )
+
+
+# PII redaction patterns, ordered: email first (contains dots/digits that
+# later families could nibble), then SSN (3-2-4) before phone (3-3-4 —
+# disjoint shapes, but explicit order makes that irrelevant), IP last.
+# Every pattern sticks to the regex subset where Java regex (Spark) and
+# RE2 (DuckDB) agree: character classes, bounded repeats, \b, (…) groups —
+# no lookaround, no backrefs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column, families: tuple = ("email", "ssn", "phone", "ipv4")) -> Column:
+    """Scrub PII from free text before it enters a training corpus: chained
+    Catalyst regexp_replace (JVM, codegen — no Python in the path), one
+    pass per enabled family, replacement tokens preserved so downstream
+    dedup/quality stages see stable text."""
+    out = col
+    for name, pat, tok in PII_PATTERNS:
+        if name in families:
+            out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def pii_hit_counts(col: Column) -> Column:
+    """Struct of per-family match counts — the audit twin of redact_pii
+    (how much PII a corpus slice carries, without materializing it)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
