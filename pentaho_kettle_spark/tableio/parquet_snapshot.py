@@ -181,6 +181,7 @@ class ParquetSnapshotTableIO:
         n_buckets: int = 16,
         write_mode: str = "cow",  # "cow" rewrite-on-merge | "mor" append deltas
         compact_delta_files: int = 16,  # mor: compact a bucket past this many deltas
+        sort_on_write: bool = False,  # cluster rows by key within bucket files
     ):
         self.spark = spark
         self.root = root
@@ -189,6 +190,14 @@ class ParquetSnapshotTableIO:
         self.n_buckets = n_buckets
         self.write_mode = write_mode
         self.compact_delta_files = compact_delta_files
+        # Iceberg sort-order analog: sortWithinPartitions(key) before the
+        # parquet write — an in-memory per-partition sort (no extra
+        # exchange) that clusters each bucket file's row groups into tight
+        # key ranges, so point lookups (read_key) and key-range predicates
+        # skip row groups via min/max stats. Off by default: the sort buys
+        # nothing for full-bucket collapse reads, which is the ingest hot
+        # path; turn it on for serving-heavy tables.
+        self.sort_on_write = sort_on_write
         # serializes manifest commits so an async compactor and the ingest
         # writer can't lose each other's updates (the in-process reduction of
         # Iceberg's optimistic-concurrency commit loop — all writers share
@@ -553,6 +562,13 @@ class ParquetSnapshotTableIO:
             staged = df.withColumn(
                 "_bucket", bucket_expr(self.key_cols[0], self.n_buckets)
             ).repartition(self.n_buckets, "_bucket")
+        if self.sort_on_write:
+            # per-partition sort only — preserves the bucket partitioning,
+            # adds no exchange. "_bucket" leads the order: partitionBy
+            # requires rows sorted by the partition column per task, and if
+            # that requirement isn't already satisfied the writer inserts
+            # its OWN sort by (_bucket) alone, clobbering the key order.
+            staged = staged.sortWithinPartitions("_bucket", *self.key_cols)
         staged.write.mode("overwrite").partitionBy("_bucket").parquet(outdir)
         import pyarrow.parquet as pq
 
