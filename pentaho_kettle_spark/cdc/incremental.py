@@ -167,3 +167,45 @@ class IncrementalAggregate:
             ],
         )
         return out
+
+
+def follow(
+    table,
+    from_snapshot_id: int | None = None,
+    poll_interval: float = 1.0,
+    max_polls: int | None = None,
+    images: str = "net",
+):
+    """Tail the table's changes feed: a generator yielding
+    `(from_snapshot, to_snapshot, changes_df)` whenever the table advances
+    — the Delta `readChangeFeed` streaming analog for downstream consumers
+    (cache invalidation, incremental aggregates, replication) without a
+    Structured Streaming source implementation, which PySpark cannot
+    register for a custom format.
+
+    Each yielded DataFrame is a bucket-pruned `read_changes(a, b)` plan —
+    work is proportional to the interval's touched buckets, never the
+    table. The consumer owns its offset durability: checkpoint the yielded
+    `to_snapshot` and resume with `from_snapshot_id=` after a restart
+    (exactly the foreachBatch + epoch-id pattern the ingest side uses).
+    Driver-side cost per poll is one manifest read; `max_polls` bounds the
+    loop for tests and batch drains (None = tail forever)."""
+    import time as _time
+
+    # captured NOW, not at the consumer's first next(): a plain generator
+    # would defer this line until iteration begins and silently skip every
+    # commit landing in between — "follow from now" must mean call time
+    last = table.snapshot_id() if from_snapshot_id is None else int(from_snapshot_id)
+
+    def _tail(last):
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            polls += 1
+            head = table.snapshot_id()
+            if head > last:
+                yield last, head, table.read_changes(last, head, images=images)
+                last = head
+            else:
+                _time.sleep(poll_interval)
+
+    return _tail(last)

@@ -197,3 +197,29 @@ def test_lww_after_late_arriving_loser_pruned_safely(spark, tmp_path):
     got = t.read(lww_after=_cut(100)).collect()
     assert [(r["conv_id"], r["text"]) for r in got] == [("a", "winner")]
     assert t.last_scan["files_pruned"] >= 1
+
+
+def test_follow_tails_commits(spark, tmp_path):
+    """follow() yields one bucket-pruned changes batch per table advance
+    and resumes from a checkpointed snapshot id."""
+    from pentaho_kettle_spark.cdc.incremental import follow
+
+    t = _mk(spark, tmp_path, write_mode="mor", compact_delta_files=None)
+    tail = follow(t, poll_interval=0.05, max_polls=50)
+    seen = []
+    _apply(t, _batch(spark, [("c1", 0, "a", 1, "U")]), "f1")
+    a, b, df = next(tail)
+    seen.append((a, b, {(r.conv_id, r._change_type) for r in df.collect()}))
+    _apply(t, _batch(spark, [
+        ("c1", 0, "a2", 2, "U"),
+        ("c2", 0, "b", 3, "U"),
+    ]), "f2")
+    a2, b2, df2 = next(tail)
+    seen.append((a2, b2, {(r.conv_id, r._change_type) for r in df2.collect()}))
+    assert seen[0][2] == {("c1", "insert")}
+    assert seen[1][2] == {("c1", "update"), ("c2", "insert")}
+    assert seen[0][1] == seen[1][0]  # contiguous offsets
+    # resume from checkpointed offset replays the second interval
+    tail2 = follow(t, from_snapshot_id=seen[0][1], poll_interval=0.05, max_polls=5)
+    _, _, df3 = next(tail2)
+    assert {(r.conv_id, r._change_type) for r in df3.collect()} == seen[1][2]
