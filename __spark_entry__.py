@@ -2172,11 +2172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_lww_collapse": _q_cdc_lww_collapse,
         "cdc_merge_apply": _q_cdc_merge_apply,
-        "insert_update_delete": _q_insert_update_delete,
-        "minhash_dedup": _q_minhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "pii_redaction": _q_pii_redaction,
+        # minhash_dedup / simhash_candidates: r03 driver-green veterans,
+        # rotated to the tail so the two NEW dedup rows above get their
+        # first driver attestation inside the 50-entry window
+        "minhash_dedup": _q_minhash_dedup,
         "simhash_candidates": _q_simhash_candidates,
+        "insert_update_delete": _q_insert_update_delete,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "select_values": _q_select_values,
         "filter_null_routing": _q_filter_null_routing,
