@@ -113,6 +113,37 @@ def run_compaction_cycle(
     return sorted(set(done))
 
 
+def optimize(
+    table: ParquetSnapshotTableIO,
+    policy: CompactionPolicy | None = None,
+    keep_last: int = 5,
+    grace_seconds: float = 3600.0,
+    tombstone_watermark=None,
+) -> dict:
+    """One-call maintenance sweep (Iceberg OPTIMIZE + VACUUM analog), in
+    the order that maximizes what each step can reclaim:
+
+      1. compact due buckets (policy-routed minor/major folds),
+      2. expire tombstones past the out-of-order watermark (if given),
+      3. expire snapshots + GC orphan data files, unreferenced bucket
+         manifests, and frozen ledger segments.
+
+    Each step is an ordinary optimistic commit, so optimize() is safe to
+    run beside live ingest — the same guarantee every step already has
+    individually (the 3-writer stress test exercises exactly this). At
+    cluster scale, schedule it like Iceberg maintenance: off-peak, or
+    continuously via CompactionScheduler + a periodic expire job."""
+    compacted = run_compaction_cycle(table, policy)
+    if tombstone_watermark is not None:
+        table.expire_tombstones(tombstone_watermark)
+    exp = table.expire_snapshots(keep_last=keep_last, grace_seconds=grace_seconds)
+    return {
+        "compacted_buckets": compacted,
+        "expired_snapshots": exp["expired_snapshots"],
+        "deleted_files": exp["deleted_files"],
+    }
+
+
 class CompactionScheduler:
     """Background compactor: runs `run_compaction_cycle` every `interval_sec`
     until stopped. Spark is thread-safe for job submission, so the fold jobs

@@ -363,3 +363,27 @@ def test_rebucket_conflicting_commit_raises(spark, tmp_path):
     # failed rebucket rolled the in-memory layout back and lost nothing
     assert t.n_buckets == 4
     assert {r.k for r in t.read().collect()} == {"a", "z"}
+
+
+def test_optimize_one_call_sweep(spark, tmp_path):
+    """optimize(): folds due buckets, expires tombstones past the
+    watermark, drops old snapshots + GCs — state unchanged for readers."""
+    from pentaho_kettle_spark.tableio.compaction import CompactionPolicy, optimize
+
+    t = _mk(spark, str(tmp_path / "topt"), write_mode="mor",
+            compact_delta_files=None)
+    for b in range(5):
+        rows = [(f"k{k}", float(b * 10 + k), 100 + k, b * 10 + k,
+                 "D" if (b == 2 and k == 0) else "U") for k in range(6)]
+        t.merge_apply(_changes(spark, rows), batch_id=f"opt-{b}")
+    before = {r.k: (r.v, r.ts) for r in t.read().collect()}
+    res = optimize(
+        t, CompactionPolicy(max_delta_files=1), keep_last=2,
+        grace_seconds=0.0, tombstone_watermark=1e9,
+    )
+    assert res["compacted_buckets"]  # folds ran
+    assert res["expired_snapshots"]  # history trimmed
+    assert {r.k: (r.v, r.ts) for r in t.read().collect()} == before
+    assert len(t.snapshot_ids()) <= 3  # keep_last=2 (+ the optimize commits)
+    # tombstones physically gone (watermark covers every delete)
+    assert t.read_full().filter("_deleted").count() == 0
