@@ -125,6 +125,14 @@ class _DuplicateBatch(Exception):
     committed — turns into a skip, making re-delivered epochs no-ops."""
 
 
+class _CommitConflict(Exception):
+    """Raised inside a CoW commit mutation when a touched bucket's file set
+    changed since the rewrite was planned — another writer committed into
+    the same bucket, so swapping our rewrite in would silently drop their
+    rows. The caller replans against the new manifest and retries (the
+    in-process form of Iceberg's optimistic-concurrency commit loop)."""
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id — identical everywhere (write, merge, prune)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
@@ -427,7 +435,8 @@ class ParquetSnapshotTableIO:
         return out
 
     def read_full(
-        self, buckets: list[int] | None = None, lww_after=None
+        self, buckets: list[int] | None = None, lww_after=None,
+        manifest: dict | None = None,
     ) -> DataFrame | None:
         """All rows incl. tombstones + system cols; optional bucket pruning.
 
@@ -443,8 +452,12 @@ class ParquetSnapshotTableIO:
         or its key's winner is itself ≤ threshold and the post-filter drops
         the key entirely — identical output, fewer files scanned.
         `self.last_scan` records {files_total, files_pruned} for plan
-        assertions."""
-        m = self.current_manifest()
+        assertions.
+
+        `manifest` pins the snapshot the plan reads (CoW merge passes the
+        manifest it will conflict-check against at commit; default is the
+        current one)."""
+        m = self.current_manifest() if manifest is None else manifest
         if m is None:
             return None
         schema = TableSchema(**m["schema"])
@@ -878,8 +891,6 @@ class ParquetSnapshotTableIO:
 
         schema = TableSchema(**m["schema"])
         names = schema.names()
-        key = self.key_cols
-        lww = self.lww_col
 
         # cast/conform changes to the current table schema (type widening is
         # applied to the table *before* merge by the caller; here we align)
@@ -891,19 +902,68 @@ class ParquetSnapshotTableIO:
         )
 
         # persist: chg is consumed twice (bucket-pruning collect + the merge
-        # join); without this the upstream LWW collapse shuffle runs twice
+        # join) and survives commit-conflict retries; without this the
+        # upstream LWW collapse shuffle would run once per consumer/attempt
         from pyspark.storagelevel import StorageLevel
 
         chg = chg.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # bucket pruning: which buckets does this batch touch?
+            # (independent of the manifest — computed once across retries)
+            touched = [
+                r["b"]
+                for r in chg.select(
+                    bucket_expr(self.key_cols[0], self.n_buckets).alias("b")
+                ).distinct().collect()
+            ]
+            # optimistic concurrency (Iceberg's commit retry loop): the
+            # rewrite is planned against manifest `m`; if another writer
+            # commits into a touched bucket before our pointer swap, the
+            # conflict check raises and the merge REPLANS against the new
+            # manifest — without it the swap would silently drop the
+            # concurrent writer's rows from the shared bucket
+            for _attempt in range(4):
+                try:
+                    return self._merge_apply_cow(
+                        chg, m, touched, batch_id, seq_high_watermark
+                    )
+                except _CommitConflict:
+                    m = self.current_manifest()
+                    if batch_id is not None and batch_id in set(
+                        m["committed_batches"]
+                    ):
+                        return {"skipped_duplicate_batch": batch_id}
+            raise RuntimeError(
+                f"merge_apply {batch_id!r}: lost the commit race 4 times on "
+                f"buckets {sorted(touched)}; quiesce competing writers or "
+                "route this table through a single committer"
+            )
+        finally:
+            chg.unpersist()
 
-        # bucket pruning: which buckets does this batch touch?
-        touched = [
-            r["b"]
-            for r in chg.select(
-                bucket_expr(key[0], self.n_buckets).alias("b")
-            ).distinct().collect()
-        ]
-        current = self.read_full(buckets=touched)
+    def _merge_apply_cow(
+        self,
+        chg: DataFrame,
+        m: dict,
+        touched: list[int],
+        batch_id: str | None,
+        seq_high_watermark: int | None,
+    ) -> dict:
+        """One CoW rewrite attempt planned against manifest `m`: join the
+        touched buckets' state (as of `m`) with the changes, write the
+        merged buckets, and commit iff those buckets are still exactly as
+        `m` recorded them (raises _CommitConflict otherwise)."""
+        schema = TableSchema(**m["schema"])
+        names = schema.names()
+        key = self.key_cols
+        lww = self.lww_col
+        # the commit-time conflict check compares against the file sets the
+        # plan below actually reads — same manifest, same buckets
+        planned = {
+            str(b): {e["path"] for e in m["files"].get(str(b), [])}
+            for b in touched
+        }
+        current = self.read_full(buckets=touched, manifest=m)
 
         c = chg.alias("c")
         t = current.alias("t")
@@ -959,7 +1019,6 @@ class ParquetSnapshotTableIO:
 
         new_files = self._write_buckets(merged, schema.version)
         metrics = obs.get
-        chg.unpersist()
 
         lineage_rec = {
             "batch_id": batch_id,
@@ -972,6 +1031,10 @@ class ParquetSnapshotTableIO:
         def _mutate(cur: dict) -> dict:
             if batch_id is not None and batch_id in set(cur["committed_batches"]):
                 raise _DuplicateBatch(batch_id)
+            for b in touched:
+                bs = str(b)
+                if {e["path"] for e in cur["files"].get(bs, [])} != planned[bs]:
+                    raise _CommitConflict(bs)  # replan against cur (retry)
             files = {b: es for b, es in cur["files"].items() if int(b) not in touched}
             for b, es in new_files.items():
                 files[b] = es
@@ -1272,18 +1335,40 @@ class ParquetSnapshotTableIO:
         dropped — a late update older than a *retained* tombstone still
         correctly loses, while fully-aged deletes stop paying storage. With
         watermark=None every tombstone is dropped (only safe once the stream
-        is fully quiesced)."""
-        df = self.read_full()
+        is fully quiesced).
+
+        Concurrency-safe against a live ingest writer, RewriteFiles-style:
+        the rewrite folds a PINNED set of file entries, and the commit
+        replaces exactly those paths — delta files appended while the
+        rewrite ran survive untouched (readers keep collapsing the new base
+        with them by LWW)."""
         m = self.current_manifest()
+        schema = TableSchema(**m["schema"])
+        entries = [e for es in m["files"].values() for e in es]
+        if not entries:
+            return
+        pinned = {e["path"] for e in entries}
+        df = self._read_files(entries, schema)
+        if any(e.get("kind") == "delta" for e in entries):
+            df = self._collapse_rows(df, schema.names())
         keep = ~F.col(SYS_DELETED)
         if watermark is not None:
             keep = keep | (F.col(self.lww_col) >= F.lit(watermark))
         live = df.filter(keep)
-        files = self._write_buckets(live, TableSchema(**m["schema"]).version)
+        files = self._write_buckets(live, schema.version)
 
         def _mutate(cur: dict) -> dict:
+            out_files: dict[str, list[dict]] = {}
+            for b, es in cur["files"].items():
+                kept = [e for e in es if e["path"] not in pinned]
+                merged = files.get(b, []) + kept
+                if merged:
+                    out_files[b] = merged
+            for b, es in files.items():
+                if b not in out_files:
+                    out_files[b] = list(es)
             out = dict(cur)
-            out["files"] = files
+            out["files"] = out_files
             out["lineage"] = [*cur["lineage"], {
                 "mode": "expire_tombstones",
                 "watermark": None if watermark is None else str(watermark),
@@ -1520,6 +1605,35 @@ class ParquetSnapshotTableIO:
             rows,
             "bucket int, path string, kind string, rows long, del_rows long, "
             "lww_min long, lww_max long, schema_version long",
+        )
+
+    def meta_lineage(self) -> DataFrame:
+        """One row per lineage record of the current snapshot — applies,
+        compactions, rebuckets, rollbacks, expiries — in commit order
+        (Delta DESCRIBE HISTORY analog). Fixed columns for the fields every
+        consumer filters on; the full heterogeneous record rides along as a
+        JSON string in `detail`."""
+        m = self.current_manifest()
+        rows = []
+        for i, rec in enumerate(m.get("lineage", [])):
+            metrics = rec.get("metrics") or {}
+            rows.append(
+                (
+                    i,
+                    rec.get("mode")
+                    or ("rollback" if "rollback_to" in rec else "merge"),
+                    rec.get("batch_id"),
+                    rec.get("snapshot_id"),
+                    sorted(rec.get("touched_buckets", [])) or None,
+                    {k: int(v) for k, v in metrics.items()} or None,
+                    json.dumps(rec, sort_keys=True),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "ordinal int, mode string, batch_id string, snapshot_id long, "
+            "touched_buckets array<int>, metrics map<string,long>, "
+            "detail string",
         )
 
     def read_at(self, snapshot_id: int | str) -> DataFrame | None:

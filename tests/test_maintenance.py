@@ -288,6 +288,13 @@ def test_meta_tables(spark, tmp_path):
     # footer lww bounds recorded on every file, ordered, and within range
     assert all(r.lww_min is not None and r.lww_min <= r.lww_max for r in files)
     assert max(r.lww_max for r in files) == 300
+    # lineage history table: one ordered row per commit record
+    lin = t.meta_lineage().orderBy("ordinal").collect()
+    assert [r.batch_id for r in lin if r.mode == "mor"] == ["b1", "b2"]
+    assert all(r.metrics["rows_appended"] >= 1 for r in lin if r.mode == "mor")
+    import json as _json
+
+    assert _json.loads(lin[0].detail)["batch_id"] == "b1"
 
 
 # --- bucket-layout evolution ----------------------------------------------
