@@ -28,6 +28,9 @@ def main() -> None:
     # a float routes low-share buckets to the cheap minor delta-merge
     share_arg = sys.argv[6] if len(sys.argv) > 6 else "none"
     major_share = None if share_arg == "none" else float(share_arg)
+    # argv[7]: CompactionPolicy.stagger — phase-shift per-bucket fold
+    # thresholds so the first major-fold wave spreads over several batches
+    stagger = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # smaller scan splits: the default 128MB leaves the changelog scan with
@@ -84,7 +87,8 @@ def main() -> None:
     table.init_empty(data_schema)
     sched = CompactionScheduler(
         table,
-        CompactionPolicy(max_delta_files=4, major_min_delta_share=major_share),
+        CompactionPolicy(max_delta_files=4, major_min_delta_share=major_share,
+                         stagger=stagger),
         interval_sec=1.0,
     )
     t0 = time.time()

@@ -104,8 +104,11 @@ def run_once(cores: int, log_dir: str, batches: int, zip_path: str, tag: str) ->
         os.path.join(REPO, "bench", "replay_job.py"),
         # 0.25 = major_min_delta_share: due buckets below 25% delta share get
         # the minor delta-merge (base untouched) — the round-4 change that
-        # removed the membw-bound late-replay fold spikes at 32 streams
-        log_dir, str(batches), "auto", out_json, "mor", "0.25",
+        # removed the membw-bound late-replay fold spikes at 32 streams.
+        # stagger=3 phase-shifts per-bucket fold thresholds so the first
+        # major-fold wave spreads over ~4 batches (A/B: tail max/median
+        # 1.17 vs 2.4-4.2, +15% median at 32c — BENCH/BASELINE.md r4)
+        log_dir, str(batches), "auto", out_json, "mor", "0.25", "3",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     with open(out_json) as f:

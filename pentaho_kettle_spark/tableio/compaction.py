@@ -47,6 +47,16 @@ class CompactionPolicy:
     max_delta_files: int | None = 8
     max_delta_row_share: float | None = None  # delta rows / total rows in bucket
     max_buckets_per_cycle: int | None = None
+    # Phase-shift each bucket's delta-count threshold by (bucket mod
+    # (stagger+1)): with uniform ingest every bucket gains one delta per
+    # batch, so all n_buckets cross the SAME threshold in the same cycle and
+    # the first major-fold wave lands on one batch — the measured 32-stream
+    # batch-tail spike. stagger=k splits that wave into k+1 sub-waves one
+    # batch apart, at the cost of ≤k extra delta files on the later buckets.
+    # Unlike max_buckets_per_cycle (measured and rejected: deferred buckets
+    # re-fold as deltas keep arriving), staggering never folds a bucket
+    # twice for one wave — it only moves each bucket's fold earlier/later.
+    stagger: int = 0
     # MAJOR folds (rewrite the whole bucket) only when the deltas amount to
     # at least this share of the bucket — below it the due bucket gets a
     # MINOR fold (merge deltas into one delta file, base untouched:
@@ -67,9 +77,12 @@ class CompactionPolicy:
             total = sum(e["rows"] for e in entries) or 1
             drows = sum(e["rows"] for e in deltas)
             share = drows / total
+            due_files = self.max_delta_files
+            if due_files is not None and self.stagger:
+                due_files = due_files + int(b) % (self.stagger + 1)
             urgent = (
-                self.max_delta_files is not None
-                and len(deltas) > self.max_delta_files
+                due_files is not None
+                and len(deltas) > due_files
             ) or (
                 self.max_delta_row_share is not None
                 and share > self.max_delta_row_share

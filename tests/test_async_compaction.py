@@ -49,6 +49,29 @@ def test_policy_triggers_on_count_and_share():
     assert CompactionPolicy(max_delta_files=0).buckets_due(manifest) == [0, 1]
 
 
+def test_policy_stagger_phase_shifts_thresholds():
+    """stagger=k raises bucket b's delta-count threshold by b mod (k+1), so
+    uniformly-loaded buckets come due in sub-waves instead of all at once."""
+    def manifest(n_deltas):
+        return {"files": {
+            str(b): [{"kind": "base", "rows": 1000}]
+            + [{"kind": "delta", "rows": 1}] * n_deltas
+            for b in range(4)
+        }}
+
+    pol = CompactionPolicy(max_delta_files=2, stagger=3)
+    # thresholds: b0=2, b1=3, b2=4, b3=5 → due strictly above each
+    assert pol.buckets_due(manifest(3)) == [0]
+    assert pol.buckets_due(manifest(4)) == [0, 1]
+    assert pol.buckets_due(manifest(6)) == [0, 1, 2, 3]
+    # stagger=0 keeps the old single-wave behavior
+    assert CompactionPolicy(max_delta_files=2).buckets_due(manifest(3)) == [0, 1, 2, 3]
+    # share trigger is unaffected by stagger
+    assert CompactionPolicy(
+        max_delta_files=None, max_delta_row_share=0.001, stagger=3
+    ).buckets_due(manifest(3)) == [0, 1, 2, 3]
+
+
 def test_manual_cycle_folds_deltas(spark, tmp_path):
     pdf = gen_changelog(4000, 200, seed=3)
     table = ParquetSnapshotTableIO(
