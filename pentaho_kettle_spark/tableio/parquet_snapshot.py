@@ -877,6 +877,12 @@ class ParquetSnapshotTableIO:
         """Apply key-collapsed changes (one row per key, cols = data cols +
         `op` in {U, D} + SYS_SEQ) with LWW on (lww_col, SYS_SEQ).
 
+        Key columns must be non-null (they are the table's primary key and
+        the bucket hash input). NULL keys are not rejected on the hot path
+        — MoR's null-safe groupBy happens to collapse them as one key —
+        but the CoW join does not match them; treat them as malformed
+        upstream events and filter before apply.
+
         Copy-on-write at bucket granularity: only buckets containing changed
         keys are rewritten; others carry forward by manifest reference.
         Returns the lineage record for this apply.
