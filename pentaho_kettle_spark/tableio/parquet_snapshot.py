@@ -1672,14 +1672,15 @@ class ParquetSnapshotTableIO:
 
     def read_changes(
         self,
-        from_snapshot_id: int,
-        to_snapshot_id: int | None = None,
+        from_snapshot_id: int | str,
+        to_snapshot_id: int | str | None = None,
         images: str = "net",
     ) -> DataFrame:
         """Incremental CDC read (Iceberg's changelog scan / Delta CDF): the
-        NET row-level changes between two retained snapshots, one event per
-        changed key with `_change_type` in ('insert','update','delete') —
-        after-image columns for insert/update, before-image for delete.
+        NET row-level changes between two retained snapshots (by id or tag
+        name), one event per changed key with `_change_type` in
+        ('insert','update','delete') — after-image columns for
+        insert/update, before-image for delete.
 
         `images`: "net" (default) emits one row per changed key; "cdf"
         emits Delta-CDF-style rows — updates become TWO rows,
@@ -1709,9 +1710,9 @@ class ParquetSnapshotTableIO:
         m_to = (
             self.current_manifest()
             if to_snapshot_id is None
-            else self.manifest_at(to_snapshot_id)
+            else self.manifest_at(self._resolve_ref(to_snapshot_id))
         )
-        m_from = self.manifest_at(from_snapshot_id)
+        m_from = self.manifest_at(self._resolve_ref(from_snapshot_id))
         if m_to["snapshot_id"] < m_from["snapshot_id"]:
             raise ValueError(
                 f"to_snapshot {m_to['snapshot_id']} precedes from_snapshot "

@@ -75,6 +75,13 @@ def test_insert_update_delete_classification(spark, tmp_path):
         ("b", 1): ("delete", "yo"),  # before-image for deletes
         ("c", 9): ("insert", "new"),
     }
+    # tag names resolve as interval endpoints (audit workflows diff tags)
+    t.tag("audited", snap_a)
+    got_by_tag = {
+        (r["conv_id"], r["turn_idx"]): r["_change_type"]
+        for r in t.read_changes("audited").collect()
+    }
+    assert got_by_tag == {k: v[0] for k, v in got.items()}
 
 
 def test_compaction_only_interval_is_empty_and_same_snapshot(spark, tmp_path):
