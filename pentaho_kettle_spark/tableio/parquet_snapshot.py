@@ -1810,11 +1810,23 @@ class ParquetSnapshotTableIO:
             F.col("_e.t").alias("_change_type"),
         )
 
-    def expire_snapshots(self, keep_last: int = 5, grace_seconds: float = 3600.0) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 5,
+        grace_seconds: float = 3600.0,
+        older_than: float | None = None,
+    ) -> dict:
         """Iceberg-style maintenance: drop snapshot manifests outside the
         retained window, then garbage-collect data files no retained snapshot
         references (covers both expired-snapshot files and orphans left by
         crashed writers).
+
+        Retention composes like Iceberg's ExpireSnapshots: a snapshot
+        expires only if it is BOTH outside the `keep_last` window AND (when
+        `older_than` is given, a Unix timestamp) committed before it — age
+        alone never erodes the keep_last floor, and recency alone never
+        retains beyond it once older_than passes. The current snapshot, tag
+        targets, and branch heads are always retained.
 
         `grace_seconds` protects a concurrent writer that has written data
         files but not yet committed: young unreferenced files are kept.
@@ -1830,8 +1842,21 @@ class ParquetSnapshotTableIO:
             floor_id = cur["snapshot_id"] - max(keep_last - 1, 0)
             tagged = set(self.refs().values())  # tags pin snapshots (Iceberg)
             tagged.update(self.branches().values())  # branch heads pin too
-            expired = [i for i in ids if i < floor_id and i not in tagged]
-            retained = [i for i in ids if i >= floor_id or i in tagged]
+
+            def _expirable(i: int) -> bool:
+                if i >= floor_id or i in tagged:
+                    return False
+                if older_than is not None:
+                    p = os.path.join(self.root, "snapshots", f"snap-{i:06d}.json")
+                    try:  # commit wall-clock = the manifest file's mtime
+                        if os.path.getmtime(p) >= older_than:
+                            return False
+                    except FileNotFoundError:
+                        return False
+                return True
+
+            expired = [i for i in ids if _expirable(i)]
+            retained = [i for i in ids if i not in set(expired)]
             referenced: set[str] = set()
             referenced_manifests: set[str] = set()
             for i in retained:

@@ -113,6 +113,28 @@ def test_tombstone_watermark(spark, tmp_path):
     assert t.read().filter(F.col("k") == "k1").isEmpty()
 
 
+def test_expire_older_than_composes_with_keep_last(spark, tmp_path):
+    """older_than expires only snapshots that are BOTH outside keep_last
+    AND committed before the cutoff (Iceberg ExpireSnapshots semantics)."""
+    import time
+
+    t = _mk(spark, str(tmp_path / "age"))
+    for i in range(4):
+        t.merge_apply(_changes(spark, [(f"k{i}", 1.0, 10 + i, i, "U")]),
+                      batch_id=f"b{i}")
+    ids = t.snapshot_ids()
+    # cutoff in the future: everything old enough, so keep_last alone rules
+    res = t.expire_snapshots(keep_last=2, grace_seconds=0,
+                             older_than=time.time() + 60)
+    assert res["expired_snapshots"] == ids[:-2]
+    # cutoff in the past: nothing is old enough — keep_last must NOT expire
+    t.merge_apply(_changes(spark, [("kx", 9.0, 99, 9, "U")]), batch_id="bx")
+    res2 = t.expire_snapshots(keep_last=1, grace_seconds=0,
+                              older_than=time.time() - 3600)
+    assert res2["expired_snapshots"] == []
+    assert set(t.snapshot_ids()) >= set(ids[-2:])
+
+
 def _bump_worker(root: str, n: int) -> None:
     from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
