@@ -132,6 +132,7 @@ def optimize(
     keep_last: int = 5,
     grace_seconds: float = 3600.0,
     tombstone_watermark=None,
+    older_than: float | None = None,
 ) -> dict:
     """One-call maintenance sweep (Iceberg OPTIMIZE + VACUUM analog), in
     the order that maximizes what each step can reclaim:
@@ -149,7 +150,8 @@ def optimize(
     compacted = run_compaction_cycle(table, policy)
     if tombstone_watermark is not None:
         table.expire_tombstones(tombstone_watermark)
-    exp = table.expire_snapshots(keep_last=keep_last, grace_seconds=grace_seconds)
+    exp = table.expire_snapshots(keep_last=keep_last, grace_seconds=grace_seconds,
+                                 older_than=older_than)
     return {
         "compacted_buckets": compacted,
         "expired_snapshots": exp["expired_snapshots"],
