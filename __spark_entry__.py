@@ -2117,13 +2117,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
 
         # ORDER CONTRACT: the external gate records only the FIRST 50
-        # entries. Window = 13 r02-veterans (their last driver row is two
-        # rounds old), every query changed/added this round, the CDC core,
-        # then stable fill; the 27 tail entries are ALL r03-driver-green
-        # veterans (or covered by this round's committed local sweep
-        # artifact ORACLE_LOCAL_r04.json, produced by tools/check_oracle.py
-        # --json over every entry).
+        # entries. r5 window = the 44 queries whose last driver-green row is
+        # r03 (they sat in r04's tail and would go 2-rounds-stale otherwise),
+        # then cdc_lineage_metrics (oracle type fixed this round — needs its
+        # first-ever driver-green row), then new r5 queries. The tail is the
+        # 49 rows driver-attested green in r04 (CORRECTNESS_r04.json), all
+        # still covered by this round's committed local sweep artifact
+        # ORACLE_LOCAL_r05.json (tools/check_oracle.py --json, dtype-strict).
 
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_candidates": _q_simhash_candidates,
+        "insert_update_delete": _q_insert_update_delete,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "select_values": _q_select_values,
+        "filter_null_routing": _q_filter_null_routing,
+        "calculator_math": _q_calculator_math,
+        "multiway_join_agg": _q_multiway_join_agg,
+        "stream_lookup": _q_stream_lookup,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "merge_rows_diff": _q_merge_rows_diff,
+        "unique_rows": _q_unique_rows,
+        "top_k": _q_top_k,
+        "group_by_extended": _q_group_by_extended,
+        "concat_group": _q_concat_group,
+        "analytic_lag_lead": _q_analytic_lag_lead,
+        "cumulative_sum": _q_cumulative_sum,
+        "validator_errors": _q_validator_errors,
+        "token_count": _q_token_count,
+        "exact_dedup": _q_exact_dedup,
+        "embedding_topk": _q_embedding_topk,
+        "calculator_ext": _q_calculator_ext,
+        "database_lookup": _q_database_lookup,
+        "database_join": _q_database_join,
+        "univariate_stats": _q_univariate_stats,
+        "switch_case": _q_switch_case,
+        "flattener": _q_flattener,
+        "normaliser_unpivot": _q_normaliser_unpivot,
+        "lsh_ann": _q_lsh_ann,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "text_quality": _q_text_quality,
+        "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
+        "calculator_phonetic": _q_calculator_phonetic,
+        "ktr_lineitem_rollup": _q_ktr_lineitem_rollup,
+        "ktr_mapping_fee": _q_ktr_mapping_fee,
+        "ktr_metainject": _q_ktr_metainject,
+        "calculator_dates": _q_calculator_dates,
+        "string_ops": _q_string_ops,
+        "concat_checksum": _q_concat_checksum,
+        "merge_join": _q_merge_join,
+        "cartesian_theta": _q_cartesian_theta,
+        "denormaliser_pivot": _q_denormaliser_pivot,
+        # never driver-green before r5 — oracle HUGEINT→BIGINT cast fixed
+        "cdc_lineage_metrics": _q_cdc_lineage_metrics,
+        # --- new in r5 (window slots 46-50) ---
+        # --- tail: all driver-green in r04 (CORRECTNESS_r04.json) ---
         "value_mapper": _q_value_mapper,
         "number_range": _q_number_range,
         "sample_rows": _q_sample_rows,
@@ -2137,7 +2186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": _q_scd2,
         "closure": _q_closure,
         "fuzzy_match": _q_fuzzy_match,
-        "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "cdc_salted_collapse": _q_cdc_salted_collapse,
         "event_time_windows": _q_event_time_windows,
         "session_windows": _q_session_windows,
@@ -2174,54 +2222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_apply": _q_cdc_merge_apply,
         "dedup_clusters": _q_dedup_clusters,
         "pii_redaction": _q_pii_redaction,
-        # minhash_dedup / simhash_candidates: r03 driver-green veterans,
-        # rotated to the tail so the two NEW dedup rows above get their
-        # first driver attestation inside the 50-entry window
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_candidates": _q_simhash_candidates,
-        "insert_update_delete": _q_insert_update_delete,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "select_values": _q_select_values,
-        "filter_null_routing": _q_filter_null_routing,
-        "calculator_math": _q_calculator_math,
-        "multiway_join_agg": _q_multiway_join_agg,
-        "stream_lookup": _q_stream_lookup,
-        "anti_join": _q_anti_join,
-        "semi_join": _q_semi_join,
-        "merge_rows_diff": _q_merge_rows_diff,
-        "unique_rows": _q_unique_rows,
-        # --- rotated tail: r03 driver-green, locally gated this round ---
-        "top_k": _q_top_k,
-        "group_by_extended": _q_group_by_extended,
-        "concat_group": _q_concat_group,
-        "analytic_lag_lead": _q_analytic_lag_lead,
-        "cumulative_sum": _q_cumulative_sum,
-        "validator_errors": _q_validator_errors,
-        "token_count": _q_token_count,
-        "exact_dedup": _q_exact_dedup,
-        "embedding_topk": _q_embedding_topk,
-        "calculator_ext": _q_calculator_ext,
-        "database_lookup": _q_database_lookup,
-        "database_join": _q_database_join,
-        "univariate_stats": _q_univariate_stats,
-        "switch_case": _q_switch_case,
-        "flattener": _q_flattener,
-        "normaliser_unpivot": _q_normaliser_unpivot,
-        "lsh_ann": _q_lsh_ann,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "text_quality": _q_text_quality,
-        "multimodal_features": _q_multimodal_features,
-        "frame_sample": _q_frame_sample,
-        "calculator_phonetic": _q_calculator_phonetic,
-        "ktr_lineitem_rollup": _q_ktr_lineitem_rollup,
-        "ktr_mapping_fee": _q_ktr_mapping_fee,
-        "ktr_metainject": _q_ktr_metainject,
-        "calculator_dates": _q_calculator_dates,
-        "string_ops": _q_string_ops,
-        "concat_checksum": _q_concat_checksum,
-        "merge_join": _q_merge_join,
-        "cartesian_theta": _q_cartesian_theta,
-        "denormaliser_pivot": _q_denormaliser_pivot,
     }
 
 
@@ -2763,7 +2763,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT 'lm-b' || batch_i AS batch_id,
                    count(*) AS rows_appended,
-                   sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS tombstones
+                   CAST(sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tombstones
             FROM b WHERE rn = 1
             GROUP BY batch_i
         """,

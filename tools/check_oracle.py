@@ -85,8 +85,19 @@ def main(names: list[str], json_out: str | None = None) -> int:
         if list(g.columns) != list(w.columns):
             status.append(f"columns {list(g.columns)} != {list(w.columns)}")
         if not status:
+            # The driver's value hash is TYPE-SENSITIVE (int 3 != float 3.0):
+            # after width normalization, dtypes must match exactly.  A DuckDB
+            # HUGEINT (sum(int)) arrives as float64 while Spark's long is
+            # int64 — that exact mismatch was driver-red for two rounds while
+            # this replica's old check_dtype=False waved it through.
+            dg, dw = [str(d) for d in g.dtypes], [str(d) for d in w.dtypes]
+            if dg != dw:
+                bad = [f"{c}: spark {a} vs oracle {b}"
+                       for c, a, b in zip(g.columns, dg, dw) if a != b]
+                status.append(f"dtypes {'; '.join(bad)}")
+        if not status:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+                pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             except AssertionError as e:
                 status.append(f"values: {str(e).splitlines()[-1][:200]}")
         if status:
