@@ -63,13 +63,17 @@ class JobResult:
 
 
 def parse_kjb(path: str, variables: dict | None = None) -> Job:
-    """Parse a .kjb; ``variables`` resolves ${VAR} placeholders in every text
-    node against caller values → environment → the job's own <parameters>
-    defaults (plans/variables.py, reference Variables.java)."""
+    """Parse a .kjb; ``variables`` only collects the job's own <parameters>
+    defaults into the space here. The XML tree is kept PRISTINE — ${VAR}
+    placeholders are substituted per-entry at EXECUTION time against the
+    live variable space (reference: each JobEntry calls
+    environmentSubstitute at its own init, Job.java execute loop), so a
+    SET_VARIABLES entry overrides values for every later entry even when
+    the variable already had a parse-time value (parameter default, env,
+    or caller value)."""
     from pentaho_kettle_spark.plans.variables import (
         Variables,
         file_parameter_defaults,
-        resolve_tree,
     )
 
     root = ET.parse(path).getroot()
@@ -77,7 +81,6 @@ def parse_kjb(path: str, variables: dict | None = None) -> Job:
         variables if isinstance(variables, Variables) else Variables(variables)
     )
     vspace.defaults = {**file_parameter_defaults(root), **vspace.defaults}
-    resolve_tree(root, vspace)
     entries: dict[str, JobEntry] = {}
     start = None
     for e in root.findall("entries/entry"):
@@ -192,7 +195,9 @@ def run_kjb(
             if entry.type == "SPECIAL" or entry.type == "DUMMY":
                 ok = True
             elif entry.type == "TRANS":
-                fname = entry.elem.findtext("filename")
+                # substituted NOW, against the live space — an earlier
+                # SET_VARIABLES can redirect which .ktr this entry runs
+                fname = vspace.substitute(entry.elem.findtext("filename"))
                 if fname and not os.path.isabs(fname):
                     fname = os.path.join(
                         os.path.dirname(os.path.abspath(path)), fname
@@ -221,16 +226,28 @@ def run_kjb(
                         )
                     for name in from_result:
                         bind[name] = prev_rows
-                    out = run_ktr(spark, fname, inputs=bind, variables=vspace)
+                    to_result = [
+                        s.name for s in parsed.steps.values()
+                        if s.type == "RowsToResult"
+                    ]
+                    out = run_ktr(
+                        spark, fname, inputs=bind, variables=vspace,
+                        extra_outputs=to_result,
+                    )
                     with lock:
                         res.results[current] = out
-                        # a terminal RowsToResult step replaces the buffer
-                        to_result = [
-                            s.name for s in parsed.steps.values()
-                            if s.type == "RowsToResult" and s.name in out
-                        ]
+                        # the reference replaces the job Result per entry:
+                        # every RowsToResult step publishes (terminal or
+                        # not — multiple steps all append to one Result);
+                        # a TRANS with none leaves an EMPTY buffer, not the
+                        # previous entry's rows
                         if to_result:
-                            state["result_rows"] = out[to_result[0]]
+                            buf = out[to_result[0]]
+                            for name in to_result[1:]:
+                                buf = buf.unionByName(out[name])
+                            state["result_rows"] = buf
+                        else:
+                            state["result_rows"] = None
                 except Exception as exc:  # noqa: BLE001 - failure routes the hop
                     ok = False
                     with lock:
@@ -240,11 +257,11 @@ def run_kjb(
                 # entries/setvariables/JobEntrySetVariables.java: mutate the
                 # job's variable space for everything executed AFTER this
                 # entry (already-run entries saw the old values). Values may
-                # themselves reference variables — resolved now, not at
-                # parse (the parse-time pass left unknown ${X} verbatim).
+                # themselves reference variables — resolved against the
+                # live space at this entry's execution.
                 with lock:
                     for f in entry.elem.findall("fields/field"):
-                        n = f.findtext("variable_name")
+                        n = vspace.substitute(f.findtext("variable_name"))
                         if n:
                             vspace.values[n] = vspace.substitute(
                                 f.findtext("variable_value") or ""
@@ -261,7 +278,10 @@ def run_kjb(
                 with lock:
                     res.failed_entry = current
                     res.failed_entries.append(current)
-                    res.error = entry.elem.findtext("message") or "aborted"
+                    res.error = (
+                        vspace.substitute(entry.elem.findtext("message"))
+                        or "aborted"
+                    )
                     state["aborted"] = True
                 return
             else:

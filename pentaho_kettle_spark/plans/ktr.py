@@ -498,7 +498,7 @@ def _b_script_values_mod(spark, step, inputs):
         for js in e.findall("jsScripts/jsScript")
         if (_txt(js, "jsScript_type", "0") or "0") == "0"  # 0 = transform script
     ]
-    env = compile_script("\n".join(scripts))
+    env = compile_script("\n".join(scripts), schema=df.schema)
     for f in e.findall("fields/field"):
         name = _txt(f, "name")
         out = _txt(f, "rename") or name
@@ -952,12 +952,13 @@ def _b_mapping(spark, step, inputs):
         )
     if maps is not None:
         # Kettle reverts the input renames once rows leave the mapping when
-        # the input definition's <rename_on_output> is Y — Mapping.java only
-        # adds the valueRenames to inputRenameList under that flag, and Spoon
-        # writes Y by default, so a MISSING flag means Y (revert). N keeps
-        # the child-side names on the output stream.
+        # the input definition's <rename_on_output> is Y. MappingIODefinition
+        # loads the tag as 'Y'.equalsIgnoreCase(getTagValue(...)) — a MISSING
+        # tag is FALSE (keep child-side names, no revert). Only SimpleMapping
+        # forces renamingOnOutput=true in its meta regardless of the tag.
+        force_revert = step.type == "SimpleMapping"
         for m in maps.findall("input/mapping"):
-            if (m.findtext("rename_on_output") or "Y") == "N":
+            if not force_revert and (m.findtext("rename_on_output") or "N") != "Y":
                 continue
             for conn in m.findall("connectors/connector"):
                 res = res.withColumnRenamed(
@@ -1182,11 +1183,16 @@ def run_ktr(
     path: str,
     inputs: dict[str, DataFrame] | None = None,
     variables: dict | None = None,
+    extra_outputs: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a .ktr: returns {step_name: DataFrame} for every TERMINAL step
     (no outgoing hop). `inputs` can pre-bind step names to DataFrames
     (replacing e.g. TableInput steps the sandbox can't reach). `variables`
-    resolves ${VAR} placeholders in the file (see parse_ktr)."""
+    resolves ${VAR} placeholders in the file (see parse_ktr).
+    `extra_outputs` names steps whose output is included in the result even
+    when they have outgoing hops (plans/kjb.py uses it to capture every
+    RowsToResult step — in the reference the step publishes to the job
+    Result regardless of what is wired after it)."""
     trans = parse_ktr(path, variables=variables)
     produced: dict[str, DataFrame] = dict(inputs or {})
     # routed outputs: (from_step, to_step) -> DataFrame
@@ -1231,4 +1237,7 @@ def run_ktr(
         raise ValueError(f"unresolvable steps (cycle or missing input): {pending}")
 
     terminals = [s for s in trans.steps if not outgoing.get(s)]
-    return {s: produced[s] for s in terminals}
+    keep = terminals + [
+        s for s in (extra_outputs or []) if s in produced and s not in terminals
+    ]
+    return {s: produced[s] for s in keep}

@@ -1403,6 +1403,14 @@ class ParquetSnapshotTableIO:
         with open(p) as f:
             return self._resolve_files(json.load(f))
 
+    def _parent_of(self, snapshot_id: int) -> int | None:
+        """Parent pointer only, from the raw snapshot json — no bucket
+        manifest resolution (parent-chain walks stay O(1) per hop even on
+        two-level-manifest tables). FileNotFoundError if expired."""
+        p = os.path.join(self.root, "snapshots", f"snap-{snapshot_id:06d}.json")
+        with open(p) as f:
+            return json.load(f).get("parent")
+
     # ---------- named refs (Iceberg tags) ----------
 
     def _refs_path(self) -> str:
@@ -1536,7 +1544,13 @@ class ParquetSnapshotTableIO:
             mine = self.snapshot_id()
             sid = target
             while sid is not None and sid > mine:
-                sid = self.manifest_at(sid).get("parent")
+                try:
+                    sid = self._parent_of(sid)
+                except FileNotFoundError:
+                    # an expired mid-chain snapshot means we cannot PROVE
+                    # ancestry — report the clean divergence error, not a
+                    # missing-manifest crash
+                    sid = None
             if sid != mine:
                 raise RuntimeError(
                     f"cannot fast-forward: head {mine} is not an ancestor of "
@@ -1822,11 +1836,13 @@ class ParquetSnapshotTableIO:
         crashed writers).
 
         Retention composes like Iceberg's ExpireSnapshots: a snapshot
-        expires only if it is BOTH outside the `keep_last` window AND (when
-        `older_than` is given, a Unix timestamp) committed before it — age
-        alone never erodes the keep_last floor, and recency alone never
-        retains beyond it once older_than passes. The current snapshot, tag
-        targets, and branch heads are always retained.
+        expires only if it is BOTH outside every head's `keep_last`-ancestor
+        parent chain (main and each branch keep their own last `keep_last`
+        ancestors) AND (when `older_than` is given, a Unix timestamp)
+        committed before it — age alone never erodes the keep_last floor,
+        and recency alone never retains beyond it once older_than passes.
+        The current snapshot, tag targets, and branch heads are always
+        retained.
 
         `grace_seconds` protects a concurrent writer that has written data
         files but not yet committed: young unreferenced files are kept.
@@ -1839,12 +1855,33 @@ class ParquetSnapshotTableIO:
             if cur is None:
                 return {"expired_snapshots": [], "deleted_files": 0}
             ids = self.snapshot_ids()
-            floor_id = cur["snapshot_id"] - max(keep_last - 1, 0)
-            tagged = set(self.refs().values())  # tags pin snapshots (Iceberg)
-            tagged.update(self.branches().values())  # branch heads pin too
+            on_disk = set(ids)
+            # keep_last counts ANCESTORS ALONG EACH HEAD'S PARENT CHAIN
+            # (main + every branch), not an id window: snapshot ids are
+            # allocated globally across branches, so a chain's ids are
+            # sparse under interleaved branch commits and id arithmetic
+            # would retain fewer than keep_last ancestors of a head —
+            # expiring a mid-chain ancestor a later fast_forward walk needs.
+            keep: set[int] = set(self.refs().values())  # tags pin (Iceberg)
+            heads = {cur["snapshot_id"], *self.branches().values()}
+            # the MAIN head is a head even when expiry runs on a branch
+            # handle (cur is then the branch head, and _branch-* listing
+            # doesn't cover _current)
+            main_ptr = os.path.join(self.root, "_current")
+            if os.path.exists(main_ptr):
+                with open(main_ptr) as f:
+                    heads.add(int(f.read().strip()[5:-5]))
+            for head in heads:
+                sid, hops = head, 0
+                while sid is not None and hops < max(keep_last, 1):
+                    if sid not in on_disk:
+                        break  # already expired past here in an earlier run
+                    keep.add(sid)
+                    hops += 1
+                    sid = self._parent_of(sid)
 
             def _expirable(i: int) -> bool:
-                if i >= floor_id or i in tagged:
+                if i in keep:
                     return False
                 if older_than is not None:
                     p = os.path.join(self.root, "snapshots", f"snap-{i:06d}.json")

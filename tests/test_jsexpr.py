@@ -57,6 +57,32 @@ def test_script_var_chaining(spark):
     assert r.net == 30.0 and abs(r.taxed - 35.7) < 1e-9
 
 
+def test_plus_is_concat_on_string_operands(spark):
+    """JS '+' with a string operand is CONCATENATION — the single most
+    common ScriptValuesMod idiom (var key = name + '_' + id;). Operand
+    types flow from the schema passed to compile_script/compile_expr;
+    string literals type themselves."""
+    df = spark.createDataFrame([{"name": "ord", "id": 7, "amt": 2.5}])
+    env = compile_script(
+        """
+        var key = name + '_' + id;
+        var total = amt + id;
+        var label = 'amt=' + amt;
+        var keyed = key + id;
+        """,
+        schema=df.schema,
+    )
+    r = df.select(*[c.alias(n) for n, c in env.items()]).first()
+    assert r.key == "ord_7"           # str col + str lit + num col → concat
+    assert r.total == 9.5             # num + num stays numeric addition
+    assert r.label == "amt=2.5"       # str lit + double col
+    assert r.keyed == "ord_77"        # script var typed str propagates
+
+    # without a schema the columns are untyped → numeric '+' (legacy path)
+    legacy = compile_script("var total = amt + id;")
+    assert df.select(legacy["total"].alias("t")).first().t == 9.5
+
+
 def test_unsupported_constructs_raise():
     with pytest.raises(NotImplementedError, match="script_values"):
         compile_script("for (var i = 0; i < 10; i++) { x += i; }")

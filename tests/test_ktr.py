@@ -182,10 +182,11 @@ def test_run_ktr_mapping_subtransformation(spark):
 
 
 def test_mapping_rename_on_output_flag(spark):
-    """MappingIODefinition.isRenamingOnOutput(): Y (and Spoon's default when
-    the tag is absent) reverts the parent→child input renames at
-    MappingOutput; an explicit N keeps the CHILD names downstream."""
-    # explicit Y — same round-trip behavior as the flag-absent fixture
+    """MappingIODefinition loads <rename_on_output> as
+    'Y'.equalsIgnoreCase(tag): Y reverts the parent→child input renames at
+    MappingOutput; N — and a MISSING tag — keeps the CHILD names downstream.
+    Only SimpleMapping forces the revert regardless of the tag."""
+    # explicit Y — revert: parent names back on the output stream
     out_y = run_ktr(spark, os.path.join(FIX, "parent_mapping_rename_y.ktr"))[
         "Apply fee mapping"
     ]
@@ -198,6 +199,17 @@ def test_mapping_rename_on_output_flag(spark):
     assert "rate" in out_n.columns and "pct" not in out_n.columns
     # output-connector renames are independent of the input flag
     assert "order_fee" in out_n.columns and "fee" not in out_n.columns
+    # MISSING tag — getTagValue returns null, equalsIgnoreCase('Y') is false:
+    # keep child names (hand-authored .ktr without the tag)
+    out_m = run_ktr(spark, os.path.join(FIX, "parent_mapping_noflag.ktr"))[
+        "Apply fee mapping"
+    ]
+    assert "amt" in out_m.columns and "amount" not in out_m.columns
+    # SimpleMapping: renamingOnOutput hardwired true — revert even w/o tag
+    out_s = run_ktr(spark, os.path.join(FIX, "parent_simplemapping.ktr"))[
+        "Apply fee mapping"
+    ]
+    assert "amount" in out_s.columns and "amt" not in out_s.columns
 
 
 def test_mapping_input_standalone_raises(spark):
@@ -355,6 +367,29 @@ def test_kjb_set_variables_and_simple_eval(spark, tmp_path):
     assert "full_run" in res2.executed and "skipped" not in res2.executed
 
 
+def test_kjb_set_variables_overrides_parse_time_value(spark):
+    """A SET_VARIABLES override must be visible to later entries even when
+    the variable already HAD a value at parse time (here the job's own
+    <parameter MODE=quick> default). Job XML is substituted per-entry at
+    execution time against the live space (reference: each entry's
+    environmentSubstitute at init) — resolving the tree once at parse bakes
+    the stale 'quick' into the SIMPLE_EVAL text and silently routes the
+    failure branch."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_vars_override.kjb"))
+    assert res.success, res.error
+    assert "yes" in res.executed and "no" not in res.executed
+
+    # a caller value is also override-able by SET_VARIABLES
+    res2 = run_kjb(
+        spark, os.path.join(FIX, "sample_job_vars_override.kjb"),
+        variables={"MODE": "quick"},
+    )
+    assert res2.success, res2.error
+    assert "yes" in res2.executed and "no" not in res2.executed
+
+
 def test_metainject_pure_xml_rewrite():
     """inject() alone (no Spark): scalar path creation + repeating-group
     replacement on a template file."""
@@ -465,3 +500,30 @@ def test_rows_from_result_without_producer_fails(spark):
 
     with pytest.raises(NotImplementedError, match="no result rows bound"):
         run_ktr(spark, os.path.join(FIX, "result_consumer.ktr"))
+
+
+def test_kjb_result_rows_routed_publisher(spark):
+    """A RowsToResult step with an OUTGOING hop still publishes to the job
+    Result — the reference step writes to the Result regardless of what is
+    wired after it; only terminal-step capture misses it."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_result_rows_routed.kjb"))
+    assert res.success, res.error
+    fees = {r.k: r.fee for r in res.results["consume"]["Fee"].collect()}
+    assert fees.keys() == {1, 2, 3}
+    for k, amt in {1: 10.0, 2: 200.0, 3: 30.0}.items():
+        assert fees[k] == pytest.approx(amt * 1.1)
+
+
+def test_kjb_result_rows_cleared_by_intervening_trans(spark):
+    """Each TRANS entry REPLACES the job Result: a transformation with no
+    RowsToResult leaves an empty buffer, so a consumer two hops downstream
+    must fail with 'no previous entry copied rows' instead of silently
+    reading the entry-before-last's rows."""
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    res = run_kjb(spark, os.path.join(FIX, "sample_job_result_rows_stale.kjb"))
+    assert not res.success
+    assert "consume" in res.failed_entries
+    assert "copied rows" in (res.error or "")

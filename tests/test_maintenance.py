@@ -135,6 +135,53 @@ def test_expire_older_than_composes_with_keep_last(spark, tmp_path):
     assert set(t.snapshot_ids()) >= set(ids[-2:])
 
 
+def test_expire_keep_last_walks_each_heads_parent_chain(spark, tmp_path):
+    """Snapshot ids are allocated globally across branches, so a chain's ids
+    are SPARSE under interleaved branch/main commits. keep_last must count
+    ancestors along each head's parent chain — id arithmetic
+    (cur - keep_last + 1) silently retains fewer than keep_last ancestors
+    of a head and expires a mid-chain manifest time travel still needs."""
+    t = _mk(spark, str(tmp_path / "br"))
+    b = t.branch("dev")
+    # interleave: main, dev, main, dev, main, dev — global ids alternate
+    for i in range(3):
+        t.merge_apply(_changes(spark, [(f"m{i}", 1.0, 10 + i, 2 * i, "U")]),
+                      batch_id=f"m{i}")
+        b.merge_apply(_changes(spark, [(f"d{i}", 2.0, 10 + i, 2 * i + 1, "U")]),
+                      batch_id=f"d{i}")
+    main_head, dev_head = t.snapshot_id(), b.snapshot_id()
+    main_parent, dev_parent = t._parent_of(main_head), b._parent_of(dev_head)
+    res = t.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    kept = set(t.snapshot_ids())
+    # both heads AND both second-ancestors retained — under the id-window
+    # rule main_parent (3 ids below the global max) would have expired
+    assert {main_head, main_parent, dev_head, dev_parent} <= kept
+    assert res["expired_snapshots"]  # the older interleaved tail did expire
+    # time travel to each head's parent still works: the fork point is
+    # init-empty, so main's chain carries only m-keys, dev's only d-keys
+    assert t.read_at(main_parent).count() == 2  # m0, m1
+    b2 = t.branch("dev", create=False)
+    assert b2.read_at(dev_parent).count() == 2  # d0, d1
+
+
+def test_fast_forward_expired_ancestor_is_clean_divergence(spark, tmp_path):
+    """A branch whose intermediate ancestors were expired cannot PROVE the
+    stale main head is an ancestor — fast_forward must raise its normal
+    divergence RuntimeError, not crash on the missing manifest."""
+    import pytest
+
+    t = _mk(spark, str(tmp_path / "ff"))
+    b = t.branch("dev")
+    for i in range(5):
+        b.merge_apply(_changes(spark, [(f"d{i}", 2.0, 10 + i, i, "U")]),
+                      batch_id=f"d{i}")
+    # keep only the branch's last 2 ancestors; main head (the fork point)
+    # is pinned as a head but the chain BETWEEN them expires
+    b.expire_snapshots(keep_last=2, grace_seconds=0.0)
+    with pytest.raises(RuntimeError, match="not an ancestor"):
+        t.fast_forward("dev")
+
+
 def _bump_worker(root: str, n: int) -> None:
     from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
