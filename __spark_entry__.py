@@ -939,6 +939,95 @@ def _q_ktr_vars_fee(spark, sf):
     )
 
 
+def _q_formula_step(spark, sf):
+    """Formula step with REAL OpenFormula syntax through the driver gate:
+    examples/orders_formula.ktr carries [fieldname] bracket refs, nested
+    IF(;;), UPPER/LEFT, `&` concat, and a percent literal — compiled to
+    native Catalyst by plans/openformula.py (reference formula/Formula.java
+    embeds libformula; the reference evaluates its AST per row)."""
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    o = _t(spark, sf, "orders")
+    outs = run_ktr(
+        spark,
+        os.path.join(_EXAMPLES_DIR, "orders_formula.ktr"),
+        inputs={"Orders": o},
+    )
+    return outs["Formula"].select(
+        "o_orderkey",
+        "tier",
+        "pkey",
+        _rnd("net", 2).alias("net"),
+    )
+
+
+def _q_ktr_textfile_gz(spark, sf):
+    """TextFileInput through the driver gate (SURVEY §2.1
+    textfileinput/TextFileInput.java): nation is exported as GZIPPED
+    multi-part '|'-delimited csv, then examples/nation_textfile.ktr reads
+    it back via a directory + filemask wildcard (part-.*\\.csv\\.gz) with
+    header skip — the loader resolves the mask, Spark decompresses by
+    extension, declared Kettle types become the scan schema."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+    from pentaho_kettle_spark.sources.files import csv_output
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_tfi_corr_", dir=tmp_parent)
+    try:
+        csv_output(n, f"{root}/gz", header=True, delimiter="|",
+                   compression="gzip")
+        outs = run_ktr(
+            spark,
+            os.path.join(_EXAMPLES_DIR, "nation_textfile.ktr"),
+            variables={"DATA_DIR": f"{root}/gz"},
+        )
+        return outs["Read nation files"].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_ktr_json_input(spark, sf):
+    """JsonInput through the driver gate (kettle-json-plugin
+    JsonInput.java): orders become gzipped JSON-lines documents
+    (to_json over nested structs), then examples/orders_json.ktr extracts
+    $.key / $.meta.status / $.meta.total via JSONPath fields and casts to
+    the declared Kettle types — all get_json_object, zero Python."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.plans.ktr import run_ktr
+
+    o = _t(spark, sf, "orders").select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("total"),
+                ).alias("meta"),
+            )
+        ).alias("value")
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_json_corr_", dir=tmp_parent)
+    try:
+        o.write.mode("overwrite").option("compression", "gzip").text(
+            f"{root}/gz"
+        )
+        outs = run_ktr(
+            spark,
+            os.path.join(_EXAMPLES_DIR, "orders_json.ktr"),
+            variables={"DATA_DIR": f"{root}/gz"},
+        )
+        return outs["Read order docs"].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_ktr_mapping_fee(spark, sf):
     """Mapping (sub-transformation) through the driver gate:
     examples/orders_fee.ktr pre-binds the orders snapshot, renames fields
@@ -2172,6 +2261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-green before r5 — oracle HUGEINT→BIGINT cast fixed
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         # --- new in r5 (window slots 46-50) ---
+        "formula_step": _q_formula_step,
+        "ktr_textfile_gz": _q_ktr_textfile_gz,
+        "ktr_json_input": _q_ktr_json_input,
         # --- tail: all driver-green in r04 (CORRECTNESS_r04.json) ---
         "value_mapper": _q_value_mapper,
         "number_range": _q_number_range,
@@ -2227,6 +2319,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ktr_textfile_gz": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "ktr_json_input": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        "formula_step": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 200000 THEN 'high'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   upper(left(o_orderpriority, 1)) || '-' || o_orderstatus AS pkey,
+                   floor(o_totalprice * (1 - 10.0/100) * 100 + 0.5) / 100 AS net
+            FROM orders
+        """,
         "calculator_phonetic": _dmeta_oracle_sql(),
         "ktr_lineitem_rollup": """
             SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'

@@ -27,9 +27,21 @@ def janino_expression(df: DataFrame, out_field: str, sql_expr: str) -> DataFrame
     return df.withColumn(out_field, F.expr(sql_expr))
 
 
-def formula(df: DataFrame, out_field: str, sql_expr: str) -> DataFrame:
-    """OpenFormula expressions share the scalar-expression rewrite."""
-    return janino_expression(df, out_field, sql_expr)
+def formula(df: DataFrame, out_field: str, formula_str: str) -> DataFrame:
+    """Formula step — real OpenFormula syntax (formula/Formula.java embeds
+    libformula): `[fieldname]` bracket refs, `&` concat, `IF/LEFT/MID/...`
+    compile to native Catalyst via plans/openformula.py. A string the
+    OpenFormula subset can't express falls back to Spark SQL `expr()` when
+    it carries no bracket refs (the pre-existing passthrough extension);
+    authentic-OpenFormula failures raise naming the construct."""
+    from pentaho_kettle_spark.plans.openformula import compile_formula
+
+    try:
+        return df.withColumn(out_field, compile_formula(formula_str))
+    except NotImplementedError:
+        if "[" in formula_str:
+            raise
+        return janino_expression(df, out_field, formula_str)
 
 
 def script_values(

@@ -1105,9 +1105,127 @@ def _b_mapping_output(spark, step, inputs):
     return _single(inputs)
 
 
+def _file_specs(e):
+    """<file><name>/<filemask> parallel lists (Kettle serializes them as
+    sibling repeated tags under one <file> element)."""
+    f = e.find("file")
+    if f is None:
+        return []
+    names = [n.text or "" for n in f.findall("name")]
+    masks = [m.text for m in f.findall("filemask")]
+    masks += [None] * (len(names) - len(masks))
+    return list(zip(names, masks))
+
+
+def _b_text_file_input(spark, step, inputs):
+    """Text file input — textfileinput/TextFileInput.java (SURVEY §2.1):
+    wildcard directory+filemask file lists, gzip (transparent by
+    extension), header/footer line skipping, CSV field split. filetype
+    Fixed routes to fixed_input; anything but CSV/Fixed raises."""
+    from pentaho_kettle_spark.sources import (
+        resolve_file_specs,
+        text_file_input_csv,
+    )
+    from pentaho_kettle_spark.types import KETTLE_TO_SPARK
+
+    import pyspark.sql.types as T
+
+    e = step.elem
+    paths = resolve_file_specs(_file_specs(e))
+    filetype = (_txt(e, "filetype", "CSV") or "CSV").upper()
+    fields = e.findall("fields/field")
+    if filetype == "FIXED":
+        from pentaho_kettle_spark.sources import fixed_input
+
+        spec = [
+            (
+                _txt(f, "name"),
+                int(_txt(f, "position", "0") or 0),
+                int(_txt(f, "length", "0") or 0),
+                _txt(f, "type", "String"),
+            )
+            for f in fields
+        ]
+        if len(paths) != 1:
+            raise NotImplementedError(
+                "TextFileInput: Fixed filetype with multiple files"
+            )
+        return fixed_input(spark, paths[0], spec)
+    if filetype != "CSV":
+        raise NotImplementedError(
+            f"TextFileInput '{step.name}': filetype {filetype!r}"
+        )
+    schema = T.StructType(
+        [
+            T.StructField(
+                _txt(f, "name"), KETTLE_TO_SPARK[_txt(f, "type", "String")], True
+            )
+            for f in fields
+        ]
+    )
+    return text_file_input_csv(
+        spark,
+        paths,
+        schema,
+        header=_bool(e, "header", True),
+        nr_header_lines=int(_txt(e, "nr_headerlines", "1") or 1),
+        nr_footer_lines=(
+            int(_txt(e, "nr_footerlines", "1") or 1)
+            if _bool(e, "footer", False)
+            else 0
+        ),
+        delimiter=_txt(e, "separator", ";") or ";",
+        enclosure=_txt(e, "enclosure", '"') or '"',
+    )
+
+
+def _b_json_input(spark, step, inputs):
+    """JSON input — kettle-json-plugin JsonInput.java (SURVEY §2.1). Two
+    modes like the reference: file mode (JSON-lines documents from a
+    directory+filemask list) and in-field mode (<IsInFields>Y — JSONPath
+    over an upstream string column, <valueField>). Extraction is
+    get_json_object per declared <path>, cast to the Kettle <type>."""
+    from pentaho_kettle_spark.sources import json_lines_input, resolve_file_specs
+
+    e = step.elem
+    fields = [
+        (
+            _txt(f, "name"),
+            _txt(f, "path") or f"$.{_txt(f, 'name')}",
+            _txt(f, "type", "String"),
+        )
+        for f in e.findall("fields/field")
+    ]
+    if not fields:
+        raise ValueError(f"JsonInput '{step.name}': no <fields> declared")
+    if _bool(e, "IsInFields", False):
+        from pyspark.sql import functions as F
+
+        from pentaho_kettle_spark.sources.files import json_path_fields
+        from pentaho_kettle_spark.types import cast_to_kettle_type
+
+        src = _txt(e, "valueField")
+        if not src:
+            raise ValueError(
+                f"JsonInput '{step.name}': IsInFields=Y needs <valueField>"
+            )
+        df = _single(inputs)
+        df = json_path_fields(df, src, {n: p for n, p, _ in fields})
+        for n, _p, kt in fields:
+            df = df.withColumn(n, cast_to_kettle_type(F.col(n), kt))
+        if _bool(e, "removeSourceField", False):
+            df = df.drop(src)
+        return df
+    paths = resolve_file_specs(_file_specs(e))
+    return json_lines_input(spark, paths, fields)
+
+
 BUILDERS = {
     "CSVInput": _b_csv_input,
     "CsvInput": _b_csv_input,
+    "TextFileInput": _b_text_file_input,
+    "TextInput": _b_text_file_input,
+    "JsonInput": _b_json_input,
     "DataGrid": _b_data_grid,
     "Constant": _b_constant,
     "FilterRows": _b_filter_rows,

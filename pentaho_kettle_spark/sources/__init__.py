@@ -12,8 +12,11 @@ from pentaho_kettle_spark.sources.files import (  # noqa: F401
     csv_output,
     fixed_input,
     json_input,
+    json_lines_input,
     parquet_input,
+    resolve_file_specs,
     text_file_input,
+    text_file_input_csv,
 )
 from pentaho_kettle_spark.sources.generators import (  # noqa: F401
     data_grid,

@@ -76,6 +76,113 @@ def text_file_input(
     return df
 
 
+def resolve_file_specs(
+    specs: list[tuple[str, str | None]], required: bool = True
+) -> list[str]:
+    """Kettle <file><name>/<filemask> pairs → concrete paths. A filemask is
+    a Java REGEX over the file names inside directory `name` (reference
+    core/.../fileinput/FileInputList.java createFileList); an empty mask
+    means `name` IS the path (Spark glob characters pass through). Resolved
+    driver-side — a directory listing is a metadata operation, the same
+    cost class as the reference's VFS listing; on an object store the
+    equivalent is the FileSystem.globStatus call Spark itself issues."""
+    import os as _os
+    import re as _re
+
+    out: list[str] = []
+    for name, mask in specs:
+        if mask:
+            if not _os.path.isdir(name):
+                raise ValueError(
+                    f"TextFileInput: filemask {mask!r} requires directory "
+                    f"{name!r} to exist"
+                )
+            rx = _re.compile(mask)
+            out.extend(
+                sorted(
+                    _os.path.join(name, fn)
+                    for fn in _os.listdir(name)
+                    if rx.fullmatch(fn)
+                )
+            )
+        elif name:
+            out.append(name)
+    if required and not out:
+        raise ValueError(f"no files matched {specs!r}")
+    return out
+
+
+def text_file_input_csv(
+    spark: SparkSession,
+    paths: list[str],
+    schema: T.StructType,
+    header: bool = True,
+    nr_header_lines: int | None = None,
+    nr_footer_lines: int = 0,
+    delimiter: str = ";",
+    enclosure: str = '"',
+) -> DataFrame:
+    """TextFileInput with filetype=CSV (textfileinput/TextFileInput.java):
+    wildcard multi-file, transparent gzip (Spark's text/csv sources
+    decompress by extension), header AND footer skipping.
+
+    Fast path (no footer, ≤1 header line): the native csv reader — schema
+    projection + filter pushdown + whole-stage codegen all apply. Footer or
+    multi-line-header files take the line path: per-file line numbering +
+    from_csv, still fully distributed (one window per file; gzip files are
+    single-split so the per-file ordering is exact)."""
+    nh = (1 if header else 0) if nr_header_lines is None else nr_header_lines
+    if nr_footer_lines == 0 and nh <= 1:
+        return (
+            spark.read.option("header", nh == 1)
+            .option("sep", delimiter)
+            .option("quote", enclosure)
+            .schema(schema)
+            .csv(list(paths))
+        )
+    from pyspark.sql import Window
+
+    df = spark.read.text(list(paths)).withColumn("_f", F.input_file_name())
+    wf = Window.partitionBy("_f")
+    w = wf.orderBy(F.monotonically_increasing_id())
+    df = (
+        df.withColumn("_ln", F.row_number().over(w))
+        .withColumn("_nl", F.count(F.lit(1)).over(wf))
+        .filter(
+            (F.col("_ln") > nh)
+            & (F.col("_ln") <= F.col("_nl") - nr_footer_lines)
+        )
+    )
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    parsed = F.from_csv(
+        F.col("value"), F.lit(ddl), {"sep": delimiter, "quote": enclosure}
+    )
+    return df.select(parsed.alias("_r")).select("_r.*")
+
+
+def json_lines_input(
+    spark: SparkSession,
+    paths: list[str],
+    fields: list[tuple[str, str, str]],
+) -> DataFrame:
+    """JsonInput over files (kettle-json-plugin JsonInput.java): each line
+    is a JSON document; fields = [(out_name, json_path, kettle_type)]
+    extract via get_json_object (JVM-side JSONPath subset) and cast to the
+    declared Kettle type. Gzip transparent; wildcard/multi-file via the
+    same file-spec resolution as TextFileInput."""
+    from pentaho_kettle_spark.types import cast_to_kettle_type
+
+    df = spark.read.text(list(paths))
+    return df.select(
+        *(
+            cast_to_kettle_type(
+                F.get_json_object(F.col("value"), jpath), ktype
+            ).alias(name)
+            for name, jpath, ktype in fields
+        )
+    )
+
+
 def fixed_input(
     spark: SparkSession, path: str, fields: list[tuple[str, int, int, str]]
 ) -> DataFrame:
