@@ -1555,6 +1555,111 @@ def _q_cdc_delete_where(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cdc_optimize_maintenance(spark, sf):
+    """ONE-CALL MAINTENANCE oracle row (`optimize()` — Iceberg OPTIMIZE +
+    VACUUM analog, tableio/compaction.py): replay four MoR batches with
+    inline compaction DISABLED (every bucket accumulates raw delta files),
+    then a single optimize() must (a) policy-route major folds over every
+    due bucket, (b) expire snapshots down to the new head (keep_last=1)
+    and GC the now-unreferenced pre-compaction delta files, and (c) leave the table
+    state bit-identical to the full-log collapse — asserted via
+    meta_files() (zero 'delta'-kind files survive) and hash-verified
+    against the DuckDB windowed-collapse twin."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.compaction import CompactionPolicy, optimize
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_opt_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=None,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        for i in range(4):
+            apply_batch(
+                tio, ev.filter(F.pmod(F.col("seq"), F.lit(4)) == i),
+                batch_id=f"opt-{i}",
+            )
+        pre_kinds = {r["kind"] for r in tio.meta_files().collect()}
+        assert "delta" in pre_kinds, pre_kinds  # folds really were deferred
+        n_snaps_pre = len(tio.snapshot_ids())
+        rep = optimize(
+            tio,
+            CompactionPolicy(max_delta_files=1, major_min_delta_share=0.0),
+            keep_last=1,
+            grace_seconds=0.0,
+        )
+        assert rep["compacted_buckets"], rep
+        assert rep["expired_snapshots"] and rep["deleted_files"] > 0, rep
+        assert len(tio.snapshot_ids()) < n_snaps_pre
+        kinds = [r["kind"] for r in tio.meta_files().collect()]
+        assert kinds and all(k == "base" for k in kinds), kinds
+        out = tio.read().select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cdc_follow_tail(spark, sf):
+    """CDF TAILING oracle row (`follow()` — the Delta readChangeFeed
+    streaming analog, cdc/incremental.py): seed the table with batch A,
+    open the tail at that snapshot, then land batches B and C with a poll
+    BETWEEN them — the generator must yield exactly two change sets, one
+    per advance, each the NET per-key diff of its own interval (insert /
+    update after-images, delete before-images). The DuckDB twin recomputes
+    both interval diffs from the raw log (A vs A∪B, A∪B vs full) and
+    classifies with full outer joins."""
+    import shutil
+    import tempfile
+
+    from pentaho_kettle_spark.cdc.incremental import follow
+    from pentaho_kettle_spark.cdc.replay import apply_batch
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="pks_fol_corr_", dir=tmp_parent)
+    try:
+        tio = ParquetSnapshotTableIO(
+            spark, root, key_cols=("user_id", "event_type"), lww_col="ts",
+            n_buckets=8, write_mode="mor", compact_delta_files=16,
+        )
+        tio.init_empty(ev.select("user_id", "event_type", "value", "ts").schema)
+        apply_batch(tio, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == 0),
+                    batch_id="fol-a")
+        gen = follow(tio, poll_interval=0.0, max_polls=8)
+        yields = []
+        for i in (1, 2):
+            apply_batch(tio, ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i),
+                        batch_id=f"fol-b{i}")
+            frm, to, chg = next(gen)
+            yields.append(chg.withColumn("poll", F.lit(i)))
+        assert len(yields) == 2
+        out = yields[0].unionByName(yields[1]).select(
+            "user_id", "event_type", "value", _us("ts").alias("ts_us"),
+            "_change_type", "poll",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cdc_patch_upsert(spark, sf):
     """SPARSE / PARTIAL-COLUMN UPSERT oracle row (`patch_apply` — Hudi's
     partial-update payload; Kettle's Insert/Update step with an
@@ -2264,6 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formula_step": _q_formula_step,
         "ktr_textfile_gz": _q_ktr_textfile_gz,
         "ktr_json_input": _q_ktr_json_input,
+        "cdc_optimize_maintenance": _q_cdc_optimize_maintenance,
+        "cdc_follow_tail": _q_cdc_follow_tail,
         # --- tail: all driver-green in r04 (CORRECTNESS_r04.json) ---
         "value_mapper": _q_value_mapper,
         "number_range": _q_number_range,
@@ -2321,6 +2428,81 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ktr_textfile_gz": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        # optimize() must leave the state identical to the full-log collapse
+        "cdc_optimize_maintenance": """
+            WITH win AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+            FROM win WHERE rn = 1 AND event_id % 11 <> 0
+        """,
+        # two tail polls = two per-interval NET diffs: (A) vs (A∪B), then
+        # (A∪B) vs full — each classified like cdc_incremental_read
+        "cdc_follow_tail": """
+            WITH
+            w1a AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 = 0),
+            s1a AS (SELECT user_id, event_type, value, ts,
+                           (event_id % 11 <> 0) AS live FROM w1a WHERE rn = 1),
+            w1b AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_id % 3 IN (0, 1)),
+            s1b AS (SELECT user_id, event_type, value, ts,
+                           (event_id % 11 <> 0) AS live FROM w1b WHERE rn = 1),
+            w2b AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events),
+            s2b AS (SELECT user_id, event_type, value, ts,
+                           (event_id % 11 <> 0) AS live FROM w2b WHERE rn = 1),
+            d1 AS (
+              SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                     coalesce(a.event_type, b.event_type) AS event_type,
+                     a.value AS av, a.ts AS ats, coalesce(a.live, FALSE) AS alive,
+                     b.value AS bv, b.ts AS bts, coalesce(b.live, FALSE) AS blive
+              FROM s1a a FULL OUTER JOIN s1b b
+                ON a.user_id = b.user_id AND a.event_type = b.event_type),
+            c1 AS (
+              SELECT *, CASE WHEN NOT alive AND blive THEN 'insert'
+                             WHEN alive AND NOT blive THEN 'delete'
+                             WHEN alive AND blive AND (av IS DISTINCT FROM bv
+                                  OR ats IS DISTINCT FROM bts) THEN 'update'
+                        END AS ct
+              FROM d1),
+            d2 AS (
+              SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                     coalesce(a.event_type, b.event_type) AS event_type,
+                     a.value AS av, a.ts AS ats, coalesce(a.live, FALSE) AS alive,
+                     b.value AS bv, b.ts AS bts, coalesce(b.live, FALSE) AS blive
+              FROM s1b a FULL OUTER JOIN s2b b
+                ON a.user_id = b.user_id AND a.event_type = b.event_type),
+            c2 AS (
+              SELECT *, CASE WHEN NOT alive AND blive THEN 'insert'
+                             WHEN alive AND NOT blive THEN 'delete'
+                             WHEN alive AND blive AND (av IS DISTINCT FROM bv
+                                  OR ats IS DISTINCT FROM bts) THEN 'update'
+                        END AS ct
+              FROM d2)
+            SELECT user_id, event_type,
+                   CASE WHEN ct = 'delete' THEN av ELSE bv END AS value,
+                   epoch_us(CASE WHEN ct = 'delete' THEN ats ELSE bts END) AS ts_us,
+                   ct AS _change_type, 1 AS poll
+            FROM c1 WHERE ct IS NOT NULL
+            UNION ALL
+            SELECT user_id, event_type,
+                   CASE WHEN ct = 'delete' THEN av ELSE bv END AS value,
+                   epoch_us(CASE WHEN ct = 'delete' THEN ats ELSE bts END) AS ts_us,
+                   ct AS _change_type, 2 AS poll
+            FROM c2 WHERE ct IS NOT NULL
         """,
         "ktr_json_input": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

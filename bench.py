@@ -92,7 +92,8 @@ def _bench_cdc(spark) -> dict:
     def _mor_once(run: int) -> tuple[float, dict]:
         root = tempfile.mkdtemp(prefix="pks_bench_mor_", dir=TMP_BASE)
         table = ParquetSnapshotTableIO(
-            spark, root + "/t", n_buckets=32, write_mode="mor", compact_delta_files=None
+            spark, root + "/t", n_buckets=32, write_mode="mor",
+            compact_delta_files=None, minor_compaction_engine="arrow",
         )
         table.init_empty(sch)
         # major_min_delta_share routes low-share buckets to the cheap minor
@@ -101,7 +102,10 @@ def _bench_cdc(spark) -> dict:
         # stagger phase-shifts per-bucket fold thresholds so the first
         # major-fold wave spreads over batches instead of landing on one:
         # measured batch-tail max/median 1.17 (vs 2.4-4.2 unstaggered) and
-        # +15% median throughput at 32 cores (BENCH/BASELINE.md r4)
+        # +15% median throughput at 32 cores (BENCH/BASELINE.md r4).
+        # minor_compaction_engine="arrow" folds each due bucket's deltas in
+        # a pyarrow kernel on a driver thread — no Spark job, no JVM memory
+        # traffic: +16% median at 32 cores, 8-core tie (BENCH/BASELINE.md r5)
         sched = CompactionScheduler(
             table,
             CompactionPolicy(max_delta_files=2, major_min_delta_share=0.25,

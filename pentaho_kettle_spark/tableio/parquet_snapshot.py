@@ -138,6 +138,85 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+class _ArrowFoldUnsupported(Exception):
+    """This bucket's delta set needs the Spark fold path (mixed schema
+    versions or a type pyarrow's group_by can't key on)."""
+
+
+def _arrow_fold_bucket(
+    root: str,
+    bucket: str,
+    entries: list[dict],
+    key_cols: list[str],
+    lww_col: str,
+    out_dir: str,
+) -> dict:
+    """Fold one bucket's delta files into ONE delta file with pyarrow only —
+    zero Spark jobs, zero JVM memory traffic.
+
+    Why it exists: at 32 ingest streams the fold path is memory-bandwidth
+    bound (BENCH/BASELINE.md 8:32 analysis) — every minor fold through Spark
+    costs a parquet scan into UnsafeRow, an exchange, and a JVM write of the
+    SAME bytes the ingest exchange is fighting for. Per-bucket delta sets
+    are small (that is what makes them *minor*), so the fold is a perfect
+    Arrow kernel: read → sort → group-max → write, all in C++, off the JVM.
+
+    Semantics are exactly _collapse_rows: winner per key = lexicographic max
+    (lww_col, _seq), nulls ordered SMALLEST (Spark struct ordering), ties
+    impossible (seq is unique per origin event; verbatim duplicates are
+    identical rows). Tombstones are kept. The output file lands in the same
+    `w-<uuid>/_bucket=<b>/` layout as a Spark write and its manifest entry
+    carries the same footer-derived stats, so readers cannot tell which
+    engine folded.
+
+    Pure function of (root, entries) — safe to ship to executors via
+    `sc.parallelize(buckets).map(...)` for the cluster-scale distributed
+    variant (engine="arrow" runs driver-side threads, which is the right
+    shape for a single-driver deployment and this sandbox).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if len({e["schema_version"] for e in entries}) != 1:
+        raise _ArrowFoldUnsupported("mixed schema versions in one bucket")
+    tables = [pq.read_table(os.path.join(root, e["path"])) for e in entries]
+    try:
+        tbl = pa.concat_tables(tables)
+        sort_idx = pc.sort_indices(
+            tbl,
+            sort_keys=[(lww_col, "ascending"), (SYS_SEQ, "ascending")],
+            null_placement="at_start",
+        )
+        tbl = tbl.take(sort_idx)
+        tbl = tbl.append_column("__i", pa.array(np.arange(len(tbl)), pa.int64()))
+        winners = tbl.group_by(key_cols, use_threads=False).aggregate(
+            [("__i", "max")]
+        )
+        out = tbl.take(winners["__i_max"]).drop_columns(["__i"])
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+        raise _ArrowFoldUnsupported(str(exc)) from exc
+    bdir = os.path.join(out_dir, f"_bucket={bucket}")
+    os.makedirs(bdir, exist_ok=True)
+    full = os.path.join(bdir, f"part-0-{uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(out, full)
+    pf = pq.ParquetFile(full)
+    entry = {
+        "path": os.path.relpath(full, root),
+        "schema_version": entries[0]["schema_version"],
+        "rows": pf.metadata.num_rows,
+        "kind": "delta",
+        "del_rows": _del_rows(pf),
+    }
+    if lww_col in pf.schema_arrow.names:
+        mn, mx = _lww_minmax(pf, pf.schema_arrow.get_field_index(lww_col))
+        mn, mx = _stat_us(mn), _stat_us(mx)
+        if mn is not None and mx is not None:
+            entry["lww_min"], entry["lww_max"] = mn, mx
+    return entry
+
+
 @dataclass
 class TableSchema:
     """Ordered field list with Iceberg-style stable field ids."""
@@ -190,6 +269,7 @@ class ParquetSnapshotTableIO:
         write_mode: str = "cow",  # "cow" rewrite-on-merge | "mor" append deltas
         compact_delta_files: int = 16,  # mor: compact a bucket past this many deltas
         sort_on_write: bool = False,  # cluster rows by key within bucket files
+        minor_compaction_engine: str = "spark",  # "spark" | "arrow" (see compact_minor)
     ):
         self.spark = spark
         self.root = root
@@ -206,6 +286,7 @@ class ParquetSnapshotTableIO:
         # nothing for full-bucket collapse reads, which is the ingest hot
         # path; turn it on for serving-heavy tables.
         self.sort_on_write = sort_on_write
+        self.minor_compaction_engine = minor_compaction_engine
         # serializes manifest commits so an async compactor and the ingest
         # writer can't lose each other's updates (the in-process reduction of
         # Iceberg's optimistic-concurrency commit loop — all writers share
@@ -1264,7 +1345,9 @@ class ParquetSnapshotTableIO:
         return {"snapshot_id": committed["snapshot_id"],
                 "from_buckets": old_n, "to_buckets": n_new}
 
-    def compact_minor(self, buckets: list[int] | None = None) -> list[int]:
+    def compact_minor(
+        self, buckets: list[int] | None = None, engine: str | None = None
+    ) -> list[int]:
         """MINOR compaction: merge each bucket's delta files into ONE delta
         file — WITHOUT reading the base. Reads O(delta rows), not O(bucket
         rows), so it is the cheap fold for big buckets with small deltas
@@ -1278,8 +1361,23 @@ class ParquetSnapshotTableIO:
         the base rewrite is deferred until a MAJOR fold is actually worth
         its full-bucket read (CompactionPolicy decides which is due).
 
+        `engine` (default = the table's `minor_compaction_engine`):
+          * "spark" — one Spark job folds all due buckets (scan → collapse
+            exchange → write). Right when delta sets are large.
+          * "arrow" — each bucket folds in a pyarrow kernel on a driver
+            thread (_arrow_fold_bucket): no Spark job, no exchange, no JVM
+            memory traffic. Right for the sustained-ingest shape, where the
+            fold otherwise competes with the ingest exchange for memory
+            bandwidth (the measured 32-stream bottleneck). Buckets the
+            Arrow path can't fold (mixed schema versions, exotic key types)
+            fall back to one Spark job transparently. For a multi-executor
+            cluster the same pure function distributes as
+            `sc.parallelize(items).map(_arrow_fold_bucket)` — shared
+            storage is the only requirement.
+
         Same RewriteFiles pinning as compact(): delta files appended by a
         concurrent ingest batch while this ran survive untouched."""
+        engine = engine or self.minor_compaction_engine
         m = self.current_manifest()
         schema = TableSchema(**m["schema"])
         target = buckets if buckets is not None else [
@@ -1295,19 +1393,43 @@ class ParquetSnapshotTableIO:
         ]
         if not target:
             return []
-        folded = [
-            e
-            for b, es in m["files"].items()
-            if int(b) in target
-            for e in es
-            if e.get("kind") == "delta"
-        ]
+        by_bucket = {
+            b: [e for e in m["files"].get(str(b), []) if e.get("kind") == "delta"]
+            for b in target
+        }
+        folded = [e for es in by_bucket.values() for e in es]
         folded_paths = {e["path"] for e in folded}
-        df = self._read_files(folded, schema)
-        if df is None:
-            return []
-        collapsed = self._collapse_rows(df, schema.names())
-        new_files = self._write_buckets(collapsed, schema.version, kind="delta")
+
+        new_files: dict[str, list[dict]] = {}
+        spark_buckets = list(target)
+        if engine == "arrow":
+            from concurrent.futures import ThreadPoolExecutor
+
+            outdir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
+            spark_buckets = []
+            with ThreadPoolExecutor(max_workers=min(8, len(target))) as ex:
+                futs = {
+                    b: ex.submit(
+                        _arrow_fold_bucket, self.root, str(b), by_bucket[b],
+                        self.key_cols, self.lww_col, outdir,
+                    )
+                    for b in target
+                }
+                for b, fut in futs.items():
+                    try:
+                        new_files[str(b)] = [fut.result()]
+                    except _ArrowFoldUnsupported:
+                        spark_buckets.append(b)
+        if spark_buckets:
+            spark_folded = [e for b in spark_buckets for e in by_bucket[b]]
+            df = self._read_files(spark_folded, schema)
+            if df is None:
+                return []
+            collapsed = self._collapse_rows(df, schema.names())
+            for b, es in self._write_buckets(
+                collapsed, schema.version, kind="delta"
+            ).items():
+                new_files.setdefault(b, []).extend(es)
 
         def _mutate(cur: dict) -> dict:
             files = {}

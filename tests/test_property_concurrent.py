@@ -1,0 +1,156 @@
+"""Property fuzz: generated schedules interleaving merge_apply with
+maintenance ops (compact_minor spark/arrow, compact, expire_tombstones,
+rebucket, expire_snapshots) — fired either between commits or INSIDE another
+writer's pre-commit window (the `_write_buckets` hook from
+test_concurrent_writers.py, where the r4 lost-update bugs lived).
+
+The property: maintenance never changes visible state, and LWW makes merge
+order irrelevant — so the final `read()` must equal the sequential
+last-writer-wins fold of every merged event, no matter the schedule.
+
+Timestamps are generated monotone per schedule STEP and every
+expire_tombstones watermark is <= the minimum ts of all later batches, so
+tombstone expiry is always within its documented out-of-order bound (the
+contract under which expiry is state-preserving).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("v", T.DoubleType()),
+    T.StructField("ts", T.LongType()),
+])
+
+KEYS = [f"k{i}" for i in range(6)]  # small pool → guaranteed collisions
+
+_event = st.tuples(
+    st.sampled_from(KEYS),
+    st.floats(min_value=0, max_value=9, allow_nan=False).map(lambda x: round(x, 1)),
+    st.integers(min_value=0, max_value=99),  # ts offset within the step
+    st.sampled_from(["U", "U", "U", "D"]),
+)
+
+_step = st.one_of(
+    st.tuples(st.just("merge"), st.lists(_event, min_size=1, max_size=4)),
+    st.tuples(st.just("minor_spark"), st.none()),
+    st.tuples(st.just("minor_arrow"), st.none()),
+    st.tuples(st.just("major"), st.none()),
+    st.tuples(st.just("expire_stones"), st.none()),
+    st.tuples(st.just("rebucket"), st.sampled_from([1, 2, 4])),
+    st.tuples(st.just("expire_snaps"), st.none()),
+)
+
+_schedule = st.lists(_step, min_size=3, max_size=7).filter(
+    lambda s: sum(1 for op, _ in s if op == "merge") >= 2
+)
+# one maintenance step may fire INSIDE the next merge's pre-commit window
+_nested_idx = st.integers(min_value=0, max_value=6)
+
+
+def _oracle(merged: list[tuple]) -> dict:
+    """Sequential LWW fold: state[k] = (v, ts, seq, deleted)."""
+    state: dict = {}
+    for k, v, ts, seq, op in merged:
+        cur = state.get(k)
+        if cur is None or (ts, seq) > (cur[1], cur[2]):
+            state[k] = (None if op == "D" else v, ts, seq, op == "D")
+    return {k: (v, ts) for k, (v, ts, _s, d) in state.items() if not d}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(schedule=_schedule, nested_idx=_nested_idx, data=st.data())
+def test_maintenance_interleaved_with_merges_preserves_lww(
+    spark, tmp_path_factory, schedule, nested_idx, data
+):
+    root = str(tmp_path_factory.mktemp("fuzz") / "t")
+    t = ParquetSnapshotTableIO(
+        spark, root, key_cols=("k",), lww_col="ts", n_buckets=2,
+        write_mode="mor", compact_delta_files=None,
+    )
+    t.init_empty(SCHEMA)
+    # a second handle plays the "other process" for nested maintenance
+    w = ParquetSnapshotTableIO(
+        spark, root, key_cols=("k",), lww_col="ts", n_buckets=2,
+        write_mode="mor", compact_delta_files=None,
+    )
+
+    maint_steps = [i for i, (op, _) in enumerate(schedule) if op != "merge"]
+    nested_at = maint_steps[nested_idx % len(maint_steps)] if maint_steps else None
+
+    def run_maint(op: str, arg, handle) -> None:
+        if op == "minor_spark":
+            handle.compact_minor(engine="spark")
+        elif op == "minor_arrow":
+            handle.compact_minor(engine="arrow")
+        elif op == "major":
+            handle.compact()
+        elif op == "expire_stones":
+            # watermark = everything generated before this step; later
+            # steps only produce ts >= this bound (monotone step bases)
+            handle.expire_tombstones(watermark=step_base)
+        elif op == "rebucket":
+            handle.rebucket(arg)
+        elif op == "expire_snaps":
+            handle.expire_snapshots(keep_last=2, grace_seconds=0.0)
+
+    merged: list[tuple] = []
+    seq = 0
+    pending_nested = None
+    for i, (op, arg) in enumerate(schedule):
+        step_base = i * 100
+        if op == "merge":
+            rows = []
+            for k, v, ts_off, evop in arg:
+                seq += 1
+                rows.append((k, None if evop == "D" else v,
+                             step_base + ts_off, seq, evop))
+                merged.append((k, v, step_base + ts_off, seq, evop))
+            df = spark.createDataFrame(
+                rows, "k string, v double, ts long, _seq long, op string"
+            ).select("k", "v", "ts", "op", "_seq")
+            if pending_nested is not None:
+                nop, narg, nbase = pending_nested
+                pending_nested = None
+                orig = t._write_buckets
+                fired = {"n": 0}
+
+                def hooked(dfx, sv, kind="base", _o=orig, _op=nop, _a=narg,
+                           _f=fired):
+                    files = _o(dfx, sv, kind)
+                    _f["n"] += 1
+                    if _f["n"] == 1:
+                        run_maint(_op, _a, w)
+                    return files
+
+                t._write_buckets = hooked
+                try:
+                    t.merge_apply(df, batch_id=f"b{i}")
+                finally:
+                    t._write_buckets = orig
+            else:
+                t.merge_apply(df, batch_id=f"b{i}")
+        else:
+            if i == nested_at:
+                # defer: fire inside the NEXT merge's pre-commit window
+                pending_nested = (op, arg, step_base)
+            else:
+                run_maint(op, arg, t)
+    if pending_nested is not None:  # no merge followed; run it standalone
+        run_maint(pending_nested[0], pending_nested[1], t)
+
+    got = {r.k: (r.v, r.ts) for r in t.read().collect()}
+    assert got == _oracle(merged)
+    # lineage history survived every maintenance op
+    assert f"b{max(i for i, (op, _) in enumerate(schedule) if op == 'merge')}" \
+        in t.committed_batches()
