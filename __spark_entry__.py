@@ -720,6 +720,18 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_decontaminate(spark, sf):
+    # benchmark decontamination: docs with doc_id % 37 == 0 play the held-out
+    # eval set; every other doc is corpus. Linear scale shape (broadcast gram
+    # probe + one map-combined groupBy), so no doc_id cap is needed.
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return fdedup.decontaminate(
+        corpus, bench, "text", "doc_id", k_shingle=5, min_hits=2, hash_fn=phash64
+    )
+
+
 def _q_lsh_ann(spark, sf):
     em = _t(spark, sf, "embeddings")
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -2421,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_apply": _q_cdc_merge_apply,
         "dedup_clusters": _q_dedup_clusters,
         "pii_redaction": _q_pii_redaction,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -3318,6 +3331,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": osql.ngram_jaccard_sql(
             k_shingle=3, min_jaccard=0.2, max_shingles_per_doc=512,
             id_filter="doc_id < 200", max_doc_freq=150,
+        ),
+        "decontaminate": osql.decontaminate_sql(
+            k_shingle=5, min_hits=2,
+            corpus_filter="doc_id % 37 <> 0", bench_filter="doc_id % 37 = 0",
         ),
         "lsh_ann": osql.lsh_ann_sql(k=5, n_planes=6, dim=64),
         "ivf_ann": osql.ivf_ann_sql(k=5, n_cells=16, n_probe=2),

@@ -390,6 +390,69 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= min_jaccard).select("id_a", "id_b", "jaccard")
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 8,
+    min_hits: int = 1,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least `min_hits` distinct word k-grams with any document in `bench`
+    (the held-out eval/test corpus). This is the standard training-data
+    hygiene pass (n-gram overlap decontamination as published in the GPT-3
+    appendix-C / Llama-2 methodology; 8-13 word grams are the common
+    settings).
+
+    Scale shape — the benchmark side is small by definition, the corpus is
+    the 100 TB side:
+
+      bench  → distinct k-gram hashes (tiny)              → broadcast
+      corpus → per-row shingle arrays (no shuffle)
+             → explode → broadcast LEFT probe (hit / miss per gram)
+             → groupBy(doc) count  — the ONLY shuffle, and its input is
+               map-side combined to one row per (partition, doc)
+
+    Cost is one pass over corpus shingles plus an O(1) hash probe per
+    gram; no pairwise joins anywhere, so the plan survives any corpus
+    size. Every corpus doc appears in the output (zero-hit docs included —
+    a decontamination report must prove absence, not just list hits).
+
+    Returns (id_col, n_grams, n_hits, hit_ratio, contaminated):
+      n_grams      distinct k-grams in the doc (whole-text hash if < k words)
+      n_hits       of those, how many occur anywhere in the benchmark
+      hit_ratio    n_hits / n_grams, floor-rounded to 6 dp (oracle-stable)
+      contaminated 1 when n_hits >= min_hits else 0
+    """
+    bench_grams = (
+        bench.select(F.explode(_shingles(F.col(text_col), k_shingle, hash_fn)).alias("_s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    base = _spread(docs, id_col).select(
+        F.col(id_col), _shingles(F.col(text_col), k_shingle, hash_fn).alias("_sh")
+    )
+    ex = base.select(id_col, F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    # _sh is distinct per doc and bench_grams is distinct, so each (doc,
+    # gram) row matches at most once: sum(_hit) == distinct matched grams
+    hits = (
+        ex.join(F.broadcast(bench_grams), "_s", "left")
+        .groupBy(id_col, "_n")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"))
+    )
+    return hits.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.floor(F.col("n_hits") / F.col("_n") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "hit_ratio"
+        ),
+        (F.col("n_hits") >= min_hits).cast("long").alias("contaminated"),
+    )
+
+
 def embedding_cosine_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

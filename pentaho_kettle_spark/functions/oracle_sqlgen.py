@@ -193,6 +193,34 @@ def ngram_jaccard_sql(
     """
 
 
+def decontaminate_sql(
+    k_shingle: int = 8,
+    min_hits: int = 1,
+    corpus_filter: str = "doc_id % 37 <> 0",
+    bench_filter: str = "doc_id % 37 = 0",
+) -> str:
+    """Twin of dedup.decontaminate over the documents view: benchmark =
+    rows matching bench_filter, corpus = rows matching corpus_filter."""
+    return f"""
+        WITH {_shingle_cte(k_shingle)},
+        bench AS (
+          SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE {bench_filter}),
+        ex AS (
+          SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+          FROM sh WHERE {corpus_filter}),
+        hits AS (
+          SELECT e.doc_id, e.n, count(b.s) AS n_hits
+          FROM ex e LEFT JOIN bench b ON e.s = b.s
+          GROUP BY e.doc_id, e.n)
+        SELECT doc_id,
+               n::BIGINT AS n_grams,
+               n_hits::BIGINT AS n_hits,
+               floor(n_hits / n * 1000000 + 0.5) / 1000000 AS hit_ratio,
+               (n_hits >= {min_hits})::BIGINT AS contaminated
+        FROM hits
+    """
+
+
 _STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')"
 _LANG_SQL = {
     "en": "('the','and','of','to','is')",

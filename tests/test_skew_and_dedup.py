@@ -195,3 +195,70 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_decontaminate_flags_overlap_and_reports_clean_docs(spark):
+    from pentaho_kettle_spark.functions.dedup import decontaminate
+
+    bench_text = "which us president signed the louisiana purchase treaty in april"
+    corpus = spark.createDataFrame(
+        [
+            # verbatim benchmark leak
+            (1, "trivia night answer which us president signed the louisiana purchase treaty in april of that year"),
+            # clean doc, zero shared 5-grams
+            (2, "spark shuffles partition data across executors using hash partitioning"),
+            # shares words but no 5-gram run
+            (3, "the president signed many a treaty but never in april or march"),
+            # short doc (< k words): whole-text hash, no bench match
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    out = decontaminate(corpus, bench, "text", "doc_id", k_shingle=5, min_hits=1)
+    rows = {r.doc_id: r for r in out.collect()}
+    # every corpus doc is reported, including zero-hit ones
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].contaminated == 1 and rows[1].n_hits >= 5
+    assert rows[2].contaminated == 0 and rows[2].n_hits == 0
+    assert rows[3].contaminated == 0 and rows[3].n_hits == 0
+    assert rows[4].n_grams == 1 and rows[4].contaminated == 0
+    assert abs(rows[1].hit_ratio - rows[1].n_hits / rows[1].n_grams) < 1e-6
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from pentaho_kettle_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        # exactly one shared 5-gram (two 5-grams exist in the doc; the first
+        # matches the benchmark, the second does not)
+        [(10, "alpha beta gamma delta epsilon omega")], "doc_id long, text string"
+    )
+    one = decontaminate(corpus, bench, k_shingle=5, min_hits=1).collect()[0]
+    two = decontaminate(corpus, bench, k_shingle=5, min_hits=2).collect()[0]
+    assert one.n_hits == 1 and one.contaminated == 1
+    assert two.n_hits == 1 and two.contaminated == 0
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    # the benchmark gram set must stay on the broadcast side — a sort-merge
+    # join here would shuffle the full exploded corpus by gram hash
+    from pentaho_kettle_spark.functions.dedup import decontaminate
+
+    corpus = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("corpus doc number "), F.col("id"),
+                 F.lit(" about spark shuffles and hash partitioning")).alias("text"),
+    )
+    bench = spark.range(0, 5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("benchmark question "), F.col("id")).alias("text"),
+    )
+    out = decontaminate(corpus, bench, k_shingle=5, min_hits=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
