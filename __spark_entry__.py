@@ -732,6 +732,20 @@ def _q_decontaminate(spark, sf):
     )
 
 
+def _q_gopher_quality(spark, sf):
+    """GOPHER QUALITY FILTER oracle row (training-data hygiene; no Kettle
+    analog — closest is Data Validator, SURVEY §2.7): per-doc word-shape,
+    duplicate-line and top-2-gram repetition metrics plus the pass flag
+    from the published Gopher rules (Rae et al. 2021 §A1.1), thresholds
+    loosened to fit the synthetic corpus so the flag is a real mix. Zero
+    shuffles — every metric is a sorted-array Catalyst expression."""
+    d = _t(spark, sf, "documents")
+    return ftext.gopher_quality(
+        d, min_words=20, min_mean_word_len=3.0, max_mean_word_len=12.0,
+        min_alpha_word_frac=0.5, min_stop_hits=1, max_top_2gram_share=0.5,
+    )
+
+
 def _q_lsh_ann(spark, sf):
     em = _t(spark, sf, "embeddings")
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -2434,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pii_redaction": _q_pii_redaction,
         "decontaminate": _q_decontaminate,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -3335,6 +3350,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": osql.decontaminate_sql(
             k_shingle=5, min_hits=2,
             corpus_filter="doc_id % 37 <> 0", bench_filter="doc_id % 37 = 0",
+        ),
+        "gopher_quality": osql.gopher_quality_sql(
+            min_words=20, min_mean_word_len=3.0, max_mean_word_len=12.0,
+            min_alpha_word_frac=0.5, min_stop_hits=1, max_top_2gram_share=0.5,
         ),
         "lsh_ann": osql.lsh_ann_sql(k=5, n_planes=6, dim=64),
         "ivf_ann": osql.ivf_ann_sql(k=5, n_cells=16, n_probe=2),

@@ -221,6 +221,104 @@ def decontaminate_sql(
     """
 
 
+def gopher_quality_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_share: float = 0.20,
+) -> str:
+    """Twin of text.gopher_quality over the documents view. The Spark side
+    computes repetition metrics with sorted-array neighbour expressions
+    (zero shuffles); the oracle takes the equivalent unnest+groupby road —
+    values match because both count occurrences per (doc, line) / (doc,
+    2-gram) and round ratios floor-form to 6 dp."""
+    stops = "'the','be','to','of','and','that','have','with'"
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x <> '') AS words,
+            list_filter(string_split(text, chr(10)),
+                        x -> trim(x) <> '') AS lines
+          FROM documents),
+        scal AS (
+          SELECT doc_id,
+            len(words)::BIGINT AS n_words,
+            length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS nonspace,
+            len(list_filter(words,
+                x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS alpha_words,
+            len(regexp_extract_all(text, '(#|\.\.\.)'))::DOUBLE AS symbols,
+            len(list_filter([{stops}],
+                s -> list_contains(words, s)))::BIGINT AS stop_hits,
+            len(lines)::BIGINT AS n_lines
+          FROM base),
+        lx AS (SELECT doc_id, unnest(lines) AS line FROM base),
+        lagg AS (
+          SELECT doc_id, line, count(*) AS cnt, length(line) AS clen
+          FROM lx GROUP BY doc_id, line),
+        lstats AS (
+          SELECT doc_id,
+            sum(cnt - 1)::DOUBLE AS extras,
+            sum(CASE WHEN cnt > 1 THEN cnt * clen ELSE 0 END)::DOUBLE
+              AS member_chars,
+            sum(cnt * clen)::DOUBLE AS total_chars
+          FROM lagg GROUP BY doc_id),
+        gx AS (
+          SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram
+          FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+                FROM base)),
+        gagg AS (SELECT doc_id, gram, count(*) AS cnt
+                 FROM gx GROUP BY doc_id, gram),
+        gstats AS (
+          SELECT doc_id, max(cnt)::DOUBLE AS top_cnt,
+                 sum(cnt)::DOUBLE AS n_grams
+          FROM gagg GROUP BY doc_id),
+        m AS (
+          SELECT s.doc_id, s.n_words,
+            CASE WHEN s.n_words > 0 THEN
+              floor(s.nonspace / s.n_words * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS mean_word_len,
+            CASE WHEN s.n_words > 0 THEN
+              floor(s.alpha_words / s.n_words * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS frac_alpha_words,
+            CASE WHEN s.n_words > 0 THEN
+              floor(s.symbols / s.n_words * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS symbol_ratio,
+            s.stop_hits, s.n_lines,
+            CASE WHEN s.n_lines > 0 THEN
+              floor(coalesce(l.extras, 0) / s.n_lines * 1000000 + 0.5)
+                / 1000000
+            ELSE 0.0 END AS dup_line_frac,
+            CASE WHEN coalesce(l.total_chars, 0) > 0 THEN
+              floor(l.member_chars / l.total_chars * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS dup_line_char_frac,
+            CASE WHEN coalesce(g.n_grams, 0) > 0 THEN
+              floor(g.top_cnt / g.n_grams * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS top_2gram_share
+          FROM scal s
+          LEFT JOIN lstats l USING (doc_id)
+          LEFT JOIN gstats g USING (doc_id))
+        SELECT m.*,
+          (m.n_words >= {min_words} AND m.n_words <= {max_words}
+           AND m.mean_word_len >= {min_mean_word_len}
+           AND m.mean_word_len <= {max_mean_word_len}
+           AND m.symbol_ratio <= {max_symbol_ratio}
+           AND m.frac_alpha_words >= {min_alpha_word_frac}
+           AND m.stop_hits >= {min_stop_hits}
+           AND m.dup_line_frac <= {max_dup_line_frac}
+           AND m.dup_line_char_frac <= {max_dup_line_char_frac}
+           AND m.top_2gram_share <= {max_top_2gram_share})::BIGINT
+            AS gopher_pass
+        FROM m
+    """
+
+
 _STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')"
 _LANG_SQL = {
     "en": "('the','and','of','to','is')",

@@ -116,3 +116,166 @@ def pii_hit_counts(col: Column) -> Column:
             for name, pat, _ in PII_PATTERNS
         ]
     )
+
+
+# Gopher quality-filter thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1 —
+# the published web-text repetition/quality rules).
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    max_symbol_ratio=0.1,
+    min_alpha_word_frac=0.8,
+    min_stop_hits=2,
+    max_dup_line_frac=0.30,
+    max_dup_line_char_frac=0.20,
+    max_top_2gram_share=0.20,
+)
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _r6(c: Column) -> Column:
+    # floor-form 6dp rounding: identical float ops on Spark and DuckDB
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Gopher-style repetition/quality filtering (Rae et al. 2021 §A1.1):
+    per-document word-shape stats, duplicate-line repetition metrics, and
+    the most-frequent-2-gram share, plus a `gopher_pass` flag that ANDs the
+    published thresholds (overridable per call — the corpus-specific knobs
+    the paper tunes).
+
+    Scale shape: ZERO shuffles. Every metric is a Catalyst expression over
+    the row itself — the repetition metrics avoid the naive O(lines²)
+    occurrence count by `array_sort`ing once and comparing neighbours
+    (duplicates are adjacent in a sorted array), and the top-2-gram count
+    is the longest equal-run in the sorted gram array, folded with a
+    struct-accumulator `aggregate`. The whole job is scan → project →
+    write: embarrassingly parallel at any corpus size, no Python anywhere.
+
+    Returns (id_col, n_words, mean_word_len, frac_alpha_words,
+    symbol_ratio, stop_hits, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_share, gopher_pass). Ratios are floor-rounded to 6 dp so the
+    DuckDB oracle twin (oracle_sqlgen.gopher_quality_sql) matches exactly;
+    `dup_line_frac` counts repeat occurrences of an earlier line (extras),
+    `dup_line_char_frac` counts characters in ALL members of duplicated
+    line groups, per the paper's wording.
+    """
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    c = F.col(text_col)
+
+    words = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    nonspace_chars = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
+    mean_word_len = F.when(
+        n_words > 0, _r6(nonspace_chars / n_words)
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    frac_alpha = F.when(
+        n_words > 0, _r6(alpha_words / n_words)
+    ).otherwise(F.lit(0.0))
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), F.lit(0)))
+    symbol_ratio = F.when(
+        n_words > 0, _r6(symbols / n_words)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+    ).cast("long")
+
+    # duplicate-line metrics: sort once, duplicates become adjacent
+    lines = F.array_sort(
+        F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    )
+    n_lines = F.size(lines).cast("long")
+
+    def _line_metrics(ls):
+        prev_eq = F.transform(ls, lambda x, i: x.eqNullSafe(F.get(ls, i - 1)))
+        next_eq = F.transform(ls, lambda x, i: x.eqNullSafe(F.get(ls, i + 1)))
+        extras = F.aggregate(
+            F.zip_with(prev_eq, ls, lambda p, x: p.cast("int")),
+            F.lit(0), lambda a, x: a + x,
+        )
+        member_chars = F.aggregate(
+            F.zip_with(
+                F.zip_with(prev_eq, next_eq, lambda p, n: p | n),
+                ls,
+                lambda dup, x: F.when(dup, F.length(x)).otherwise(F.lit(0)),
+            ),
+            F.lit(0), lambda a, x: a + x,
+        )
+        total_chars = F.aggregate(
+            F.transform(ls, F.length), F.lit(0), lambda a, x: a + x
+        )
+        return extras, member_chars, total_chars
+
+    extras, member_chars, total_chars = _line_metrics(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, _r6(extras / n_lines)
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        total_chars > 0, _r6(member_chars / total_chars)
+    ).otherwise(F.lit(0.0))
+
+    # top-2-gram share: longest equal run in the sorted gram array
+    grams = F.array_sort(
+        F.transform(
+            F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda x, i: F.concat(x, F.lit(" "), F.get(words, i + 1)),
+        )
+    )
+    n_grams = F.size(grams)
+    top_cnt = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_share = F.when(n_grams > 0, _r6(top_cnt / n_grams)).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top_share.alias("top_2gram_share"),
+    )
+    passes = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_ratio") <= th["max_symbol_ratio"])
+        & (F.col("frac_alpha_words") >= th["min_alpha_word_frac"])
+        & (F.col("stop_hits") >= th["min_stop_hits"])
+        & (F.col("dup_line_frac") <= th["max_dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= th["max_dup_line_char_frac"])
+        & (F.col("top_2gram_share") <= th["max_top_2gram_share"])
+    )
+    return out.withColumn("gopher_pass", passes.cast("long"))

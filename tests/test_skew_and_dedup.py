@@ -262,3 +262,38 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_quality_metrics_and_flag(spark):
+    from pentaho_kettle_spark.functions.text import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and that is fine "
+            "to be sure of it with more words here to cross fifty total "
+            + " ".join(f"w{i}" for i in range(30)))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                          # passes
+            (2, "dup line\ndup line\ndup line\nunique one\nfin"),  # line dup
+            (3, "foo bar foo bar foo bar foo bar foo bar"),      # 2-gram dup
+            (4, "### ### ... ... ### symbols ..."),              # symbol heavy
+            (5, ""),                                             # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs, min_words=10).collect()}
+    assert out[1].gopher_pass == 1 and out[1].stop_hits >= 2
+    # doc 2: 2 of 5 lines are repeats of an earlier line
+    assert abs(out[2].dup_line_frac - 0.4) < 1e-6
+    assert out[2].dup_line_char_frac > 0.5 and out[2].gopher_pass == 0
+    # doc 3: "foo bar" occurs 5 times among 9 2-grams
+    assert abs(out[3].top_2gram_share - 5 / 9) < 1e-5
+    assert out[4].symbol_ratio > 0.1 and out[4].gopher_pass == 0
+    assert out[5].n_words == 0 and out[5].gopher_pass == 0
+
+
+def test_gopher_quality_zero_shuffle_plan(spark):
+    from pentaho_kettle_spark.functions.text import gopher_quality
+    from pentaho_kettle_spark.plans.explain import count_shuffles
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert count_shuffles(gopher_quality(docs)) == 0
