@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pentaho_kettle_spark import operators as ops
 from pentaho_kettle_spark.functions import dedup as fdedup
 from pentaho_kettle_spark.functions import oracle_sqlgen as osql
+from pentaho_kettle_spark.functions import sampling as fsamp
 from pentaho_kettle_spark.functions import similarity as fsim
 from pentaho_kettle_spark.functions import text as ftext
 from pentaho_kettle_spark.functions.portable import phash64
@@ -744,6 +745,23 @@ def _q_gopher_quality(spark, sf):
         d, min_words=20, min_mean_word_len=3.0, max_mean_word_len=12.0,
         min_alpha_word_frac=0.5, min_stop_hits=1, max_top_2gram_share=0.5,
     )
+
+
+def _q_stratified_sample(spark, sf):
+    """STRATIFIED QUOTA SAMPLE oracle row (training-mix op; deterministic
+    replacement for SURVEY §2.2 Sample rows / Reservoir sampling at corpus
+    scale): 30 docs per language as the stratum's smallest portable-hash
+    ids — broadcast counts + hash prefilter keep the window tiny."""
+    d = _t(spark, sf, "documents")
+    return fsamp.stratified_sample(d, ["lang"], 30, "doc_id", hash_fn=phash64)
+
+
+def _q_train_eval_split(spark, sf):
+    """TRAIN/EVAL SPLIT oracle row: salted-hash split column — the
+    contamination-safe held-out assignment decontaminate polices. Pure
+    projection, zero shuffles."""
+    d = _t(spark, sf, "documents")
+    return fsamp.train_eval_split(d, 0.1, "doc_id", hash_fn=phash64)
 
 
 def _q_lsh_ann(spark, sf):
@@ -2449,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "decontaminate": _q_decontaminate,
         "gopher_quality": _q_gopher_quality,
+        "stratified_sample": _q_stratified_sample,
+        "train_eval_split": _q_train_eval_split,
     }
 
 
@@ -3355,6 +3375,10 @@ def oracle_sql() -> dict[str, str]:
             min_words=20, min_mean_word_len=3.0, max_mean_word_len=12.0,
             min_alpha_word_frac=0.5, min_stop_hits=1, max_top_2gram_share=0.5,
         ),
+        "stratified_sample": osql.stratified_sample_sql(
+            strata="lang", n_per_stratum=30, oversample=2.0,
+        ),
+        "train_eval_split": osql.train_eval_split_sql(eval_frac=0.1, salt="split"),
         "lsh_ann": osql.lsh_ann_sql(k=5, n_planes=6, dim=64),
         "ivf_ann": osql.ivf_ann_sql(k=5, n_cells=16, n_probe=2),
         "embedding_near_dups": osql.embedding_near_dups_sql(

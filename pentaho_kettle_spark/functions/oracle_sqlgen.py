@@ -319,6 +319,50 @@ def gopher_quality_sql(
     """
 
 
+def stratified_sample_sql(
+    strata: str = "lang",
+    n_per_stratum: int = 30,
+    oversample: float = 2.0,
+    cols: str = "doc_id, text, lang, source, n_chars",
+) -> str:
+    """Twin of sampling.stratified_sample over the documents view (strata
+    is a comma list of stratum columns)."""
+    h = phash64_sql("doc_id")
+    cap = float(oversample) * n_per_stratum
+    return f"""
+        WITH c AS (
+          SELECT {strata}, count(*) AS _n FROM documents GROUP BY {strata}),
+        s AS (
+          SELECT d.*, c._n,
+                 (({h}) % 1000000 + 1000000) % 1000000 / 1000000.0 AS _u
+          FROM documents d JOIN c USING ({strata})),
+        f AS (
+          SELECT * FROM s
+          WHERE _u < least(1.0, {cap} / _n) OR _n <= {n_per_stratum}),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY {strata} ORDER BY _u, doc_id) AS _rn
+          FROM f)
+        SELECT {cols} FROM r WHERE _rn <= {n_per_stratum}
+    """
+
+
+def train_eval_split_sql(
+    eval_frac: float = 0.1,
+    salt: str = "split",
+    cols: str = "doc_id, text, lang, source, n_chars",
+) -> str:
+    """Twin of sampling.train_eval_split over the documents view."""
+    h = phash64_sql(f"'{salt}:' || doc_id::VARCHAR")
+    return f"""
+        SELECT {cols},
+          CASE WHEN (({h}) % 1000000 + 1000000) % 1000000 / 1000000.0
+                    < {eval_frac}
+               THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    """
+
+
 _STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this')"
 _LANG_SQL = {
     "en": "('the','and','of','to','is')",
