@@ -132,6 +132,24 @@ _FUNCTIONS: dict[str, tuple[tuple[int, int], object]] = {
     "LOG10": ((1, 1), lambda a: F.log10(a[0])),
     "TODAY": ((0, 0), lambda a: F.current_date()),
     "NOW": ((0, 0), lambda a: F.current_timestamp()),
+    # date/time accessors (OpenFormula §6.10; libformula maps these to the
+    # same calendar fields — WEEKDAY type 1 = Sunday 1..Saturday 7, the
+    # OpenFormula default, which is Spark's dayofweek numbering)
+    "YEAR": ((1, 1), lambda a: F.year(a[0])),
+    "MONTH": ((1, 1), lambda a: F.month(a[0])),
+    "DAY": ((1, 1), lambda a: F.dayofmonth(a[0])),
+    "HOUR": ((1, 1), lambda a: F.hour(a[0])),
+    "MINUTE": ((1, 1), lambda a: F.minute(a[0])),
+    "SECOND": ((1, 1), lambda a: F.second(a[0])),
+    "WEEKDAY": ((1, 1), lambda a: F.dayofweek(a[0])),
+    "ISOWEEKNUM": ((1, 1), lambda a: F.weekofyear(a[0])),
+    "DATE": ((3, 3), lambda a: F.make_date(a[0], a[1], a[2])),
+    # DAYS(end; start) / spreadsheet date arithmetic; DATEDIF's unit-string
+    # dispatch is not translated — its two common units have direct forms
+    "DAYS": ((2, 2), lambda a: F.datediff(a[0], a[1])),
+    "MONTHS": ((2, 2), lambda a: F.floor(F.months_between(a[1], a[0])).cast("int")),
+    "EDATE": ((2, 2), lambda a: F.add_months(a[0], a[1])),
+    "EOMONTH": ((2, 2), lambda a: F.last_day(F.add_months(a[0], a[1]))),
 }
 
 

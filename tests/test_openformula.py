@@ -112,3 +112,21 @@ def test_ktr_formula_step(spark):
     assert rows[1].tier == "mid" and rows[2].tier == "high" and rows[3].tier == "low"
     assert rows[1].label == "P-100.0"
     assert rows[1].net == pytest.approx(100.0 * 0.9)
+
+
+def test_date_functions(spark):
+    import datetime
+
+    row = {"d": datetime.date(2024, 3, 15), "e": datetime.date(2024, 5, 1)}
+    assert _eval(spark, "YEAR([d])", row) == 2024
+    assert _eval(spark, "MONTH([d])", row) == 3
+    assert _eval(spark, "DAY([d])", row) == 15
+    assert _eval(spark, "WEEKDAY([d])", row) == 6  # 2024-03-15 is a Friday
+    assert _eval(spark, "DATE(2024; 3; 15) = [d]", row) is True
+    assert _eval(spark, "DAYS([e]; [d])", row) == 47
+    assert _eval(spark, "MONTHS([d]; [e])", row) == 1
+    assert _eval(spark, "EDATE([d]; 2)", row) == datetime.date(2024, 5, 15)
+    assert _eval(spark, "EOMONTH([d]; 0)", row) == datetime.date(2024, 3, 31)
+    assert _eval(
+        spark, 'IF(MONTH([d]) < 4; "Q1"; "later")', row
+    ) == "Q1"
