@@ -144,9 +144,14 @@ def run_kjb(
     inputs: dict[str, DataFrame] | None = None,
     max_entries: int = 1000,
     variables: dict | None = None,
+    repository: str | None = None,
 ) -> JobResult:
     """Execute a job. `inputs` pre-binds step names inside executed
     transformations (e.g. TableInput stand-ins), like run_ktr's `inputs`.
+    `repository` names a Kettle file-repository root: TRANS entries that
+    reference a transformation by repository name (<transname> +
+    <directory>, JobEntryTrans) resolve under it, as do rep_name Mapping /
+    MetaInject references inside the executed transformations.
 
     Returns JobResult: overall success (reached SUCCESS, or ran off the end
     without a failure), the executed entry order, and per-TRANS terminal
@@ -202,6 +207,22 @@ def run_kjb(
                     fname = os.path.join(
                         os.path.dirname(os.path.abspath(path)), fname
                     )
+                if not fname:
+                    # repository-by-name TRANS entry (JobEntryTrans:
+                    # <transname> + <directory> against a file repository)
+                    tname = vspace.substitute(
+                        entry.elem.findtext("transname") or ""
+                    )
+                    if tname and repository:
+                        d = vspace.substitute(
+                            entry.elem.findtext("directory") or "/"
+                        ).strip("/")
+                        fname = os.path.join(repository, d, tname + ".ktr")
+                    elif tname:
+                        raise NotImplementedError(
+                            f"'{current}': repository transformation "
+                            f"'{tname}' — pass run_kjb(repository=...)"
+                        )
                 try:
                     from pentaho_kettle_spark.plans.ktr import parse_ktr
 
@@ -211,7 +232,8 @@ def run_kjb(
                     # lazily, so the two transformations compose into one
                     # Catalyst plan across the job hop
                     bind = dict(inputs or {})
-                    parsed = parse_ktr(fname, variables=vspace)
+                    parsed = parse_ktr(fname, variables=vspace,
+                                       repository=repository)
                     from_result = [
                         s.name for s in parsed.steps.values()
                         if s.type == "RowsFromResult"
@@ -232,7 +254,7 @@ def run_kjb(
                     ]
                     out = run_ktr(
                         spark, fname, inputs=bind, variables=vspace,
-                        extra_outputs=to_result,
+                        extra_outputs=to_result, repository=repository,
                     )
                     with lock:
                         res.results[current] = out

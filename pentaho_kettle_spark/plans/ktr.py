@@ -48,6 +48,7 @@ class KtrStep:
     elem: ET.Element
     dir: str = ""  # directory of the owning .ktr (for relative child paths)
     vars: object = None  # the Variables space the file was parsed under
+    repo: str | None = None  # file-repository root (for rep_name child refs)
 
 
 @dataclass
@@ -57,11 +58,15 @@ class KtrTrans:
     hops: list[tuple[str, str]]  # (from, to), enabled only
 
 
-def parse_ktr(path: str, variables: dict | None = None) -> KtrTrans:
+def parse_ktr(path: str, variables: dict | None = None,
+              repository: str | None = None) -> KtrTrans:
     """Parse a .ktr. ``variables`` feeds the Kettle variable space —
     ``${VAR}`` / ``%%VAR%%`` in any text node resolves against caller values,
     then the process environment, then the file's own <parameters> defaults
-    (plans/variables.py; reference core/.../variables/Variables.java)."""
+    (plans/variables.py; reference core/.../variables/Variables.java).
+    ``repository`` names a Kettle FILE-repository root directory — sub-
+    transformation references by repository name (<specification_method>
+    rep_name) resolve under it (see _resolve_trans_ref)."""
     from pentaho_kettle_spark.plans.variables import (
         Variables,
         file_parameter_defaults,
@@ -85,7 +90,8 @@ def parse_ktr(path: str, variables: dict | None = None) -> KtrTrans:
     steps = {}
     for s in root.findall("step"):
         sname = s.findtext("name")
-        steps[sname] = KtrStep(sname, s.findtext("type"), s, kdir, vspace)
+        steps[sname] = KtrStep(sname, s.findtext("type"), s, kdir, vspace,
+                                repository)
     hops = [
         (h.findtext("from"), h.findtext("to"))
         for h in root.findall("order/hop")
@@ -897,6 +903,52 @@ def _b_table_input(spark, step, inputs):
     return jdbc_input(spark, JdbcSpec(url=url, query=_txt(e, "sql")))
 
 
+def _resolve_trans_ref(step, what: str) -> str:
+    """Resolve a sub-transformation reference to a .ktr path.
+
+    Kettle stores the reference three ways (StepWithMappingMeta /
+    MappingMeta XML, SURVEY §2.7): <specification_method> `filename` with a
+    <filename> (resolved relative to the owning file), `rep_name` with
+    <trans_name> + <directory_path> (resolved against a repository), and
+    `rep_ref` with a <trans_object_id> (a repository database object id).
+    A Kettle FILE repository (repository/filerep/KettleFileRepository.java)
+    is literally a directory tree of .ktr/.kjb files, so rep_name resolves
+    as <repo-root>/<directory_path>/<trans_name>.ktr when the caller passes
+    run_ktr(repository=...). rep_ref has no file-system analog and raises.
+    """
+    import os
+
+    e = step.elem
+    fname = _txt(e, "filename")
+    if fname:
+        return fname if os.path.isabs(fname) else os.path.join(step.dir, fname)
+    tname = _txt(e, "trans_name")
+    if tname:
+        if not step.repo:
+            raise NotImplementedError(
+                f"{what} '{step.name}': repository-by-name reference "
+                f"('{tname}') — pass run_ktr(repository=<file-repo root dir>)"
+            )
+        d = (_txt(e, "directory_path") or "/").strip("/")
+        path = os.path.join(step.repo, d, tname + ".ktr")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{what} '{step.name}': '{tname}' not found in file "
+                f"repository ({path})"
+            )
+        return path
+    if _txt(e, "trans_object_id"):
+        raise NotImplementedError(
+            f"{what} '{step.name}': repository-by-reference "
+            "(<trans_object_id>) needs a repository database; re-export the "
+            "job with rep_name or filename references"
+        )
+    raise NotImplementedError(
+        f"{what} '{step.name}': no <filename>, <trans_name>, or "
+        "<trans_object_id> reference"
+    )
+
+
 def _b_mapping(spark, step, inputs):
     """Mapping (sub-transformation) — mapping/MappingMeta.java + the
     MappingIODefinition connector lists (SURVEY §2.7). The child .ktr is a
@@ -907,17 +959,10 @@ def _b_mapping(spark, step, inputs):
     MappingOutput result is renamed child→parent along the <output>
     connectors. Supported subset: one MappingInput + one MappingOutput,
     child referenced by <filename> (absolute, or relative to the parent
-    file); repository references (<trans_name>/<directory_path>) raise."""
-    import os
-
+    file) or by repository name against a file repository
+    (_resolve_trans_ref); repository-by-reference (object ids) raises."""
     e = step.elem
-    fname = _txt(e, "filename")
-    if not fname:
-        raise NotImplementedError(
-            f"Mapping '{step.name}': only file-based child transformations are "
-            "supported (<filename>); repository references are not"
-        )
-    path = fname if os.path.isabs(fname) else os.path.join(step.dir, fname)
+    path = _resolve_trans_ref(step, "Mapping")
     # child inherits the parent's variable space (Kettle: mappings share the
     # parent TransMeta's space); <parameters><parameter><name>/<value> pairs
     # on the Mapping step override — their values were already substituted
@@ -928,7 +973,7 @@ def _b_mapping(spark, step, inputs):
         if p.findtext("name")
     }
     child_vars = step.vars.child(extra) if step.vars is not None else extra
-    child = parse_ktr(path, variables=child_vars)
+    child = parse_ktr(path, variables=child_vars, repository=step.repo)
     mi = [s for s in child.steps.values() if s.type == "MappingInput"]
     mo = [s for s in child.steps.values() if s.type == "MappingOutput"]
     if len(mi) != 1 or len(mo) != 1:
@@ -943,7 +988,8 @@ def _b_mapping(spark, step, inputs):
             df = df.withColumnRenamed(
                 conn.findtext("parent"), conn.findtext("child")
             )
-    outs = run_ktr(spark, path, inputs={mi[0].name: df}, variables=child_vars)
+    outs = run_ktr(spark, path, inputs={mi[0].name: df}, variables=child_vars,
+                   repository=step.repo)
     res = outs.get(mo[0].name)
     if res is None:
         raise ValueError(
@@ -1043,12 +1089,7 @@ def _b_metainject(spark, step, inputs):
     from pentaho_kettle_spark.plans import metainject as mi
 
     e = step.elem
-    fname = _txt(e, "filename")
-    if not fname:
-        raise NotImplementedError(
-            f"MetaInject '{step.name}': template must come from <filename>"
-        )
-    path = fname if os.path.isabs(fname) else os.path.join(step.dir, fname)
+    path = _resolve_trans_ref(step, "MetaInject")
 
     rows_cache: dict[str, list[dict]] = {}
 
@@ -1302,6 +1343,7 @@ def run_ktr(
     inputs: dict[str, DataFrame] | None = None,
     variables: dict | None = None,
     extra_outputs: list[str] | None = None,
+    repository: str | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a .ktr: returns {step_name: DataFrame} for every TERMINAL step
     (no outgoing hop). `inputs` can pre-bind step names to DataFrames
@@ -1310,8 +1352,9 @@ def run_ktr(
     `extra_outputs` names steps whose output is included in the result even
     when they have outgoing hops (plans/kjb.py uses it to capture every
     RowsToResult step — in the reference the step publishes to the job
-    Result regardless of what is wired after it)."""
-    trans = parse_ktr(path, variables=variables)
+    Result regardless of what is wired after it). `repository` is a Kettle
+    file-repository root for rep_name sub-transformation references."""
+    trans = parse_ktr(path, variables=variables, repository=repository)
     produced: dict[str, DataFrame] = dict(inputs or {})
     # routed outputs: (from_step, to_step) -> DataFrame
     routed: dict[tuple[str, str], DataFrame] = {}

@@ -527,3 +527,52 @@ def test_kjb_result_rows_cleared_by_intervening_trans(spark):
     assert not res.success
     assert "consume" in res.failed_entries
     assert "copied rows" in (res.error or "")
+
+
+def test_mapping_repository_by_name(spark, tmp_path):
+    """rep_name sub-transformation references resolve against a Kettle FILE
+    repository (a directory tree of .ktr files) passed as
+    run_ktr(repository=...); without it the reference raises, and rep_ref
+    object ids always raise."""
+    import shutil
+
+    import pytest as _pytest
+
+    repo = tmp_path / "repo" / "pipelines" / "fees"
+    repo.mkdir(parents=True)
+    shutil.copy(os.path.join(FIX, "child_mapping.ktr"), repo / "child_mapping.ktr")
+
+    out = run_ktr(
+        spark,
+        os.path.join(FIX, "parent_mapping_repo.ktr"),
+        repository=str(tmp_path / "repo"),
+    )["Apply fee mapping"]
+    row = out.first()
+    # child computes PERCENT_3: amt + amt * rate / 100
+    assert row.order_fee == 200.0 + 200.0 * 10.0 / 100.0
+    # rename_on_output=Y reverted the child-side names
+    assert "amount" in out.columns and "amt" not in out.columns
+
+    with _pytest.raises(NotImplementedError, match="repository-by-name"):
+        run_ktr(spark, os.path.join(FIX, "parent_mapping_repo.ktr"))
+
+
+def test_job_trans_repository_by_name(spark, tmp_path):
+    """A job TRANS entry referencing <transname>/<directory> runs the .ktr
+    from the file repository passed to run_kjb(repository=...)."""
+    import shutil
+
+    from pentaho_kettle_spark.plans.kjb import run_kjb
+
+    repo = tmp_path / "repo" / "pipelines" / "fees"
+    repo.mkdir(parents=True)
+    # any self-contained fixture works as the repo-resident transformation
+    shutil.copy(os.path.join(FIX, "sample_shaping.ktr"), repo / "fee_rollup.ktr")
+
+    res = run_kjb(
+        spark,
+        os.path.join(FIX, "sample_job_repo.kjb"),
+        repository=str(tmp_path / "repo"),
+    )
+    assert res.success, res.error
+    assert "run repo trans" in res.results
