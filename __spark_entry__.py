@@ -2345,6 +2345,206 @@ def _q_kjb_parallel_job(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# round 5: oracle rows for the remaining tested-only SURVEY §2 items
+# --------------------------------------------------------------------------
+
+
+def _shm_tmpdir(prefix: str) -> str:
+    import tempfile
+
+    parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=parent)
+
+
+def _q_text_file_lines(spark, sf):
+    """Text file input, raw-line mode (SURVEY §2.1
+    textfileinput/TextFileInput.java): wildcard multi-file read, per-file
+    header-line skip, regex row filter, then a delimiter split into typed
+    fields. The staged files carry one header line and one comment line per
+    file so both filters are actually exercised; the oracle is the source
+    projection the lines were rendered from."""
+    import shutil
+
+    from pentaho_kettle_spark.sources.files import text_file_input
+
+    rows = _t(spark, sf, "nation").select("n_nationkey", "n_name").collect()
+    root = _shm_tmpdir("pks_text_corr_")
+    try:
+        half = len(rows) // 2
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            with open(f"{root}/nation_{i}.txt", "w") as fh:
+                fh.write("key|name\n")  # header: skipped per file
+                fh.write("# generated fixture\n")  # dropped by the regex
+                for r in chunk:
+                    fh.write(f"{r.n_nationkey}|{r.n_name}\n")
+        df = text_file_input(
+            spark,
+            f"{root}/nation_*.txt",
+            add_filename=False,
+            skip_header_lines=1,
+            filter_regex=r"^[0-9]",
+        )
+        out = df.select(
+            F.split("line", r"\|").getItem(0).cast("long").alias("n_nationkey"),
+            F.split("line", r"\|").getItem(1).alias("n_name"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_fixed_width_input(spark, sf):
+    """Fixed file input (SURVEY §2.1 fixedinput/FixedInput.java): per-field
+    (start, length) substring projection with Kettle-type coercion — fully
+    parallel, no hand-rolled NIO chunking. Oracle = the rows the fixed-width
+    file was rendered from."""
+    import shutil
+
+    from pentaho_kettle_spark.sources.files import fixed_input
+
+    rows = _t(spark, sf, "nation").collect()
+    root = _shm_tmpdir("pks_fixed_corr_")
+    try:
+        with open(f"{root}/nation.fixed", "w") as fh:
+            for r in rows:
+                fh.write(f"{r.n_nationkey:<6d}{r.n_name:<26s}{r.n_regionkey:<4d}\n")
+        df = fixed_input(
+            spark,
+            f"{root}/nation.fixed",
+            [
+                ("n_nationkey", 0, 6, "Integer"),
+                ("n_name", 6, 26, "String"),
+                ("n_regionkey", 32, 4, "Integer"),
+            ],
+        )
+        return df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_cube_roundtrip(spark, sf):
+    """Cube output -> cube input (SURVEY §2.1 cubeinput/cubeoutput): parquet
+    is this engine's native serialized-rowset format; a distributed write
+    re-read must reproduce the projection exactly."""
+    import shutil
+
+    from pentaho_kettle_spark.sources.files import parquet_input
+
+    p = _t(spark, sf, "part").select("p_partkey", "p_name", "p_retailprice")
+    root = _shm_tmpdir("pks_cube_corr_")
+    try:
+        p.write.mode("overwrite").parquet(f"{root}/cube")
+        return parquet_input(spark, f"{root}/cube").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_update_standalone(spark, sf):
+    """Standalone Update step (SURVEY §2.1 update/Update.java): keys present
+    in the target take the incoming values; incoming keys ABSENT from the
+    target are discarded (the contract that distinguishes Update from
+    Insert/Update)."""
+    o = _t(spark, sf, "orders")
+    target = o.filter(F.col("o_orderkey") % 7 < 5).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    incoming = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        _rnd(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    return ops.update_rows(target, incoming, ["o_orderkey"])
+
+
+def _q_sorted_merge(spark, sf):
+    """Sorted merge (SURVEY §2.5 sortedmerge/SortedMerge.java): k sorted
+    streams -> one globally ordered stream. Catalyst's union is unordered, so
+    the merge is union + range-partitioned re-sort (equivalent output); the
+    global position is attested with the deterministic AddSequence flavor."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    streams = [
+        o.filter(F.col("o_orderkey") % 3 == i).orderBy("o_orderkey")
+        for i in range(3)
+    ]
+    merged = ops.sorted_merge(streams, ["o_orderkey"])
+    return ops.add_sequence(merged, "pos", order_by=["o_orderkey"], start=1)
+
+
+def _q_prioritize_streams(spark, sf):
+    """Prioritize streams (SURVEY §2.5 prioritizestreams/): stream priority
+    materialized as an explicit order column (Spark unions are unordered —
+    documented deviation shared with append_streams)."""
+    c = _t(spark, sf, "customer")
+    streams = [
+        c.filter(F.col("c_mktsegment") == s).select("c_custkey", "c_mktsegment")
+        for s in ("BUILDING", "MACHINERY", "HOUSEHOLD")
+    ]
+    return ops.prioritize_streams(streams, order_field="prio")
+
+
+def _q_blocking_last_row(spark, sf):
+    """Blocking step, pass-last-row mode (SURVEY §2.5 blockingstep/): buffer
+    the whole stream, emit only the final row under an explicit order."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return ops.blocking_step(
+        o, pass_all=False, order_by=["o_totalprice", "o_orderkey"]
+    )
+
+
+def _q_combination_lookup(spark, sf):
+    """Combination lookup/update (SURVEY §2.1
+    combinationlookup/CombinationLookup.java): surrogate keys for the
+    junk-dimension natural key, as a deterministic 64-bit hash (the reference
+    hashes then round-trips the DB; coordination-free here). xxhash64 has no
+    DuckDB twin, so the oracle attests the defining property instead: tech
+    keys are 1:1 with distinct natural-key combinations (collision-free at
+    this cardinality)."""
+    c = _t(spark, sf, "customer")
+    d = ops.combination_lookup(c, ["c_mktsegment", "c_nationkey"])
+    return d.groupBy("c_mktsegment").agg(
+        F.countDistinct("tech_key").alias("n_keys"),
+        F.countDistinct("c_nationkey").alias("n_combos"),
+    )
+
+
+def _q_execute_sql_step(spark, sf):
+    """Execute SQL / SQL-script step (SURVEY §2.7 sql/ExecSQL.java): a SQL
+    statement over registered stream views — here Spark SQL text, not a
+    DataFrame composition, so the SQL front-end path is what's attested."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_sql_step")
+    return ops.execute_sql(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM li_sql_step
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
+def _q_metadata_structure(spark, sf):
+    """Metadata structure of stream (SURVEY §2.6 stepmetastructure/): emit
+    the stream's own schema as rows. The oracle pins the expected structure
+    as a VALUES literal — i.e. it attests the reader's schema inference too."""
+    return ops.metadata_structure(_t(spark, sf, "region"))
+
+
+def _q_files_rows_count(spark, sf):
+    """Get files rows count (SURVEY §2.1 getfilesrowscount/): parquet
+    footer-metadata row counts per file — no data scan — summed so the
+    result is layout-independent; the oracle counts the table."""
+    from pentaho_kettle_spark.sources.generators import get_files_rows_count
+
+    df = get_files_rows_count(spark, os.path.join(sf, "lineitem.parquet"))
+    return df.agg(F.sum("rows").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2469,6 +2669,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "stratified_sample": _q_stratified_sample,
         "train_eval_split": _q_train_eval_split,
+        # --- new in r5 (tail): remaining tested-only §2 items, now oracled ---
+        "text_file_lines": _q_text_file_lines,
+        "fixed_width_input": _q_fixed_width_input,
+        "cube_roundtrip": _q_cube_roundtrip,
+        "update_standalone": _q_update_standalone,
+        "sorted_merge": _q_sorted_merge,
+        "prioritize_streams": _q_prioritize_streams,
+        "blocking_last_row": _q_blocking_last_row,
+        "combination_lookup": _q_combination_lookup,
+        "execute_sql_step": _q_execute_sql_step,
+        "metadata_structure": _q_metadata_structure,
+        "files_rows_count": _q_files_rows_count,
     }
 
 
@@ -3391,5 +3603,70 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, greatest(n_chars::INT - 1, 0), 200))::BIGINT
                      AS frame_ts_ms
             FROM documents WHERE doc_id < 300
+        """,
+        # --- new in r5 (tail) ---
+        "text_file_lines": """
+            SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation
+        """,
+        "fixed_width_input": """
+            SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+                   n_regionkey::BIGINT AS n_regionkey
+            FROM nation
+        """,
+        "cube_roundtrip": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+        """,
+        "update_standalone": """
+            WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 7 < 5),
+                 i AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+                              floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice
+                       FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT t.o_orderkey,
+                   coalesce(i.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+                   coalesce(i.o_totalprice, t.o_totalprice) AS o_totalprice
+            FROM t LEFT JOIN i ON t.o_orderkey = i.o_orderkey
+        """,
+        "sorted_merge": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) AS pos
+            FROM orders
+        """,
+        "prioritize_streams": """
+            SELECT c_custkey, c_mktsegment, 0 AS prio FROM customer
+             WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, 1 AS prio FROM customer
+             WHERE c_mktsegment = 'MACHINERY'
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, 2 AS prio FROM customer
+             WHERE c_mktsegment = 'HOUSEHOLD'
+        """,
+        "blocking_last_row": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 1
+        """,
+        "combination_lookup": """
+            SELECT c_mktsegment,
+                   count(DISTINCT c_nationkey) AS n_keys,
+                   count(DISTINCT c_nationkey) AS n_combos
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "execute_sql_step": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "metadata_structure": """
+            SELECT * FROM (VALUES
+                (1, 'r_regionkey', 'int', true),
+                (2, 'r_name', 'string', true)
+            ) AS t(position, fieldname, type, nullable)
+        """,
+        "files_rows_count": """
+            SELECT count(*)::BIGINT AS n_rows FROM lineitem
         """,
     }
