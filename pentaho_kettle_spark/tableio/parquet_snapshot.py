@@ -50,6 +50,15 @@ SYS_SEQ = "_seq"
 SYS_DELETED = "_deleted"
 SYS_COLS = (SYS_SEQ, SYS_DELETED)
 
+# A LIVE writer's uncommitted data dir is protected from orphan GC by an
+# in-flight marker (`<root>/_inflight/w-<uuid>`) regardless of the caller's
+# grace_seconds — grace alone can't distinguish "young orphan from a crash"
+# from "another process mid-commit" when the operator passes grace=0. A
+# marker older than this TTL is presumed crashed/aborted (a healthy writer
+# commits its batch in seconds-to-minutes) and its files fall back to the
+# normal grace-aged orphan path.
+INFLIGHT_TTL = 6 * 3600.0
+
 import re as _re
 
 _BRANCH_NAME_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
@@ -293,6 +302,10 @@ class ParquetSnapshotTableIO:
         # this driver). Data-file writes happen OUTSIDE the lock; only the
         # read-mutate-swap of the manifest is serialized.
         self._commit_lock = threading.Lock()
+        # in-flight markers for data dirs this handle has written but not
+        # yet committed (see INFLIGHT_TTL); cleared on successful commit,
+        # left to age out on crash/abort
+        self._pending_markers: list[str] = []
         # lww_after file pruning needs footer min/max stats on the lww
         # column; legacy INT96 timestamps carry none, so pin INT64 micros
         # (Iceberg's representation) even under a caller-built session
@@ -455,6 +468,13 @@ class ParquetSnapshotTableIO:
         with open(tmp, "w") as f:
             f.write(name)
         os.rename(tmp, self._current_path())  # atomic pointer swap == commit
+        # the write dirs this handle staged are now referenced by a
+        # committed snapshot (or superseded) — release their GC protection
+        while self._pending_markers:
+            try:
+                os.remove(self._pending_markers.pop())
+            except OSError:
+                pass
 
     def _commit_mutation(self, mutate) -> dict:
         """Re-read the CURRENT manifest under the commit lock, apply
@@ -634,6 +654,20 @@ class ParquetSnapshotTableIO:
 
     # ---------- write ----------
 
+    def _new_write_dir(self) -> str:
+        """Allocate an uncommitted data dir and register its in-flight
+        marker, so a concurrent expire_snapshots (even with grace_seconds=0)
+        never orphan-collects files this handle is about to commit. The
+        marker is removed by `_commit`; a crashed/aborted writer's marker
+        ages out after INFLIGHT_TTL and the files become ordinary orphans."""
+        outdir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
+        marker = os.path.join(self.root, "_inflight", os.path.basename(outdir))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass  # the marker's mtime is the liveness signal
+        self._pending_markers.append(marker)
+        return outdir
+
     def _write_buckets(
         self, df: DataFrame, schema_version: int, kind: str = "base"
     ) -> dict:
@@ -643,7 +677,7 @@ class ParquetSnapshotTableIO:
         The directory name is a uuid, NOT the next snapshot id: concurrent
         writers (ingest batch + async compactor) both write before their
         commit order is decided, so predicting the snapshot id races."""
-        outdir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
+        outdir = self._new_write_dir()
         if "_bucket" in df.columns:
             # upstream already bucket-partitioned (lww_collapse_bucketed's
             # fused single-exchange plan) — re-staging would add a shuffle
@@ -1405,7 +1439,7 @@ class ParquetSnapshotTableIO:
         if engine == "arrow":
             from concurrent.futures import ThreadPoolExecutor
 
-            outdir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
+            outdir = self._new_write_dir()
             spark_buckets = []
             with ThreadPoolExecutor(max_workers=min(8, len(target))) as ex:
                 futs = {
@@ -1966,8 +2000,11 @@ class ParquetSnapshotTableIO:
         The current snapshot, tag targets, and branch heads are always
         retained.
 
-        `grace_seconds` protects a concurrent writer that has written data
-        files but not yet committed: young unreferenced files are kept.
+        Concurrent writers are protected two ways: a LIVE writer's
+        uncommitted dirs carry in-flight markers (see INFLIGHT_TTL) and are
+        skipped outright — even at grace_seconds=0 — while `grace_seconds`
+        additionally keeps ANY young unreferenced file (covering writers
+        older than this engine that left no marker, e.g. external tools).
         Driver-side metadata work is O(retained manifests + files on disk) —
         the same complexity class as Iceberg's ExpireSnapshots action."""
         import time as _time
@@ -2044,7 +2081,28 @@ class ParquetSnapshotTableIO:
             deleted = 0
             now = _time.time()
             data_root = os.path.join(self.root, "data")
+            # live in-flight markers shield another process's uncommitted
+            # write dirs from the orphan pass EVEN AT grace_seconds=0 — a
+            # mid-commit writer's files are unreferenced by construction
+            # and grace alone can't tell them from crash debris. Markers
+            # past INFLIGHT_TTL are crash debris themselves: drop the
+            # marker and let the files take the normal grace-aged path.
+            inflight_root = os.path.join(self.root, "_inflight")
+            protected: set[str] = set()
+            if os.path.isdir(inflight_root):
+                for fn in os.listdir(inflight_root):
+                    mk = os.path.join(inflight_root, fn)
+                    try:
+                        if now - os.path.getmtime(mk) < INFLIGHT_TTL:
+                            protected.add(fn)
+                        else:
+                            os.remove(mk)
+                    except OSError:
+                        continue
             for dirpath, _dn, fns in os.walk(data_root, topdown=False):
+                rel_dir = os.path.relpath(dirpath, data_root)
+                if rel_dir != "." and rel_dir.split(os.sep)[0] in protected:
+                    continue  # another writer's live uncommitted dir
                 if "_temporary" in dirpath.split(os.sep):
                     # Spark's in-flight task-attempt area: files here are
                     # renamed into place at job commit, so any path we list

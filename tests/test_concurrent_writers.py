@@ -125,3 +125,30 @@ def test_expire_tombstones_keeps_concurrent_delta(spark, tmp_path):
     assert got == {("k1", 1.0), ("k3", 9.0)}  # k3 survived, k2's stone gone
     assert t.read_full().filter(F.col("_deleted")).isEmpty()
     assert "C" in t.committed_batches()
+
+
+def test_expire_snapshots_gc_spares_inflight_writer(spark, tmp_path):
+    """expire_snapshots with grace_seconds=0 fired inside another writer's
+    pre-commit window must not orphan-collect that writer's uncommitted data
+    files (found by the generated-schedule fuzz: the in-flight files are
+    unreferenced by every snapshot, so age-based grace alone deleted them
+    and the subsequent commit referenced vanished paths). The in-flight
+    marker written by _new_write_dir is what shields them."""
+    root = str(tmp_path / "gc_inflight")
+    t = _mk(spark, root, write_mode="mor", compact_delta_files=None)
+
+    w = ParquetSnapshotTableIO(spark, root, key_cols=("k",), lww_col="ts",
+                               write_mode="mor", compact_delta_files=None)
+
+    def concurrent_gc():
+        w.expire_snapshots(keep_last=2, grace_seconds=0.0)
+
+    _hook_first_write(t, concurrent_gc)
+    t.merge_apply(_changes(spark, [("k0", 1.0, 10, 1, "U")]), batch_id="b1")
+    t.merge_apply(_changes(spark, [("k0", 2.0, 20, 2, "U")]), batch_id="b2")
+
+    got = {(r.k, r.v, r.ts) for r in t.read().collect()}
+    assert got == {("k0", 2.0, 20)}
+    # committed markers were released: a later GC still collects true orphans
+    import os
+    assert os.listdir(os.path.join(root, "_inflight")) == []
