@@ -8,6 +8,13 @@ Skipped entirely when FUZZ_EXAMPLES is unset, so the normal suite's wall
 time is unchanged. Reuses each suite's strategies and inner test body
 verbatim (via hypothesis' inner_test) — the hunt explores the same
 state space, just much more of it.
+
+Track record: the concurrent-maintenance suite found a real corruption in
+round 5 — expire_snapshots(grace_seconds=0) fired inside another writer's
+pre-commit window orphan-collected the writer's uncommitted data files
+(schedule [expire_snaps, merge, merge], nested at 0). Fixed with in-flight
+write markers; pinned as
+test_concurrent_writers.test_expire_snapshots_gc_spares_inflight_writer.
 """
 
 from __future__ import annotations
