@@ -136,4 +136,6 @@ def apply_batch(
         )
     else:
         collapsed = lww_collapse(batch, key_cols=table.key_cols, lww_col=table.lww_col)
-    return table.merge_apply(collapsed, batch_id=batch_id)
+    # the collapse above already resolved per-key winners — skip
+    # merge_apply's safety collapse so the batch keeps one exchange
+    return table.merge_apply(collapsed, batch_id=batch_id, assume_collapsed=True)

@@ -988,9 +988,19 @@ class ParquetSnapshotTableIO:
         batch_id: str | None = None,
         seq_high_watermark: int | None = None,
         mode: str | None = None,
+        assume_collapsed: bool = False,
     ) -> dict:
-        """Apply key-collapsed changes (one row per key, cols = data cols +
-        `op` in {U, D} + SYS_SEQ) with LWW on (lww_col, SYS_SEQ).
+        """Apply changes (cols = data cols + `op` in {U, D} + SYS_SEQ) with
+        LWW on (lww_col, SYS_SEQ).
+
+        A batch may carry several events for one key: MoR resolves them at
+        read/fold time by construction, and the CoW path collapses the batch
+        to its per-key (lww, seq)-winners before the bucket-rewrite join —
+        without that collapse a multi-event key would duplicate in the
+        rewritten bucket (found by the writer-vs-writer property fuzz).
+        `assume_collapsed=True` skips that exchange when the caller already
+        collapsed (replay_changelog's fused/salted plans) — the hot ingest
+        path keeps its one-exchange-per-batch shape.
 
         Key columns must be non-null (they are the table's primary key and
         the bucket hash input). NULL keys are not rejected on the hot path
@@ -1021,6 +1031,16 @@ class ParquetSnapshotTableIO:
             F.col("op"),
             F.col(SYS_SEQ).cast("long").alias(SYS_SEQ),
         )
+        if not assume_collapsed:
+            # within-batch LWW: same resolution as cdc.lww.lww_collapse,
+            # inlined over the conformed columns (op rides in the payload)
+            payload = [c for c in chg.columns if c not in self.key_cols]
+            ordk = F.struct(F.col(self.lww_col), F.col(SYS_SEQ))
+            chg = (
+                chg.groupBy(*self.key_cols)
+                .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w"))
+                .select(*self.key_cols, *[F.col(f"w.{c}").alias(c) for c in payload])
+            )
 
         # persist: chg is consumed twice (bucket-pruning collect + the merge
         # join) and survives commit-conflict retries; without this the

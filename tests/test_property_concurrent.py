@@ -154,3 +154,81 @@ def test_maintenance_interleaved_with_merges_preserves_lww(
     # lineage history survived every maintenance op
     assert f"b{max(i for i, (op, _) in enumerate(schedule) if op == 'merge')}" \
         in t.committed_batches()
+
+
+# ---------------------------------------------------------------------------
+# Writer-vs-writer fuzz: a second process COMMITS A MERGE inside the first
+# writer's pre-commit window (the exact interleave where the r4 CoW
+# lost-update bugs lived, but with generated batches instead of the two
+# pinned cases in test_concurrent_writers.py). LWW + global seqs make
+# commit order irrelevant, so the final state must equal the sequential
+# fold of every event from both writers, under both CoW (optimistic retry)
+# and MoR (delta append) modes.
+# ---------------------------------------------------------------------------
+
+_batches = st.lists(st.lists(_event, min_size=1, max_size=4), min_size=2, max_size=4)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=_batches,
+    nested_events=st.lists(_event, min_size=1, max_size=4),
+    outer_idx=st.integers(min_value=0, max_value=3),
+    mode=st.sampled_from(["mor", "cow"]),
+)
+def test_concurrent_merge_inside_merge_preserves_lww(
+    spark, tmp_path_factory, batches, nested_events, outer_idx, mode
+):
+    root = str(tmp_path_factory.mktemp("fuzz2") / "t")
+    kw = dict(key_cols=("k",), lww_col="ts", n_buckets=2,
+              write_mode=mode, compact_delta_files=None)
+    t = ParquetSnapshotTableIO(spark, root, **kw)
+    t.init_empty(SCHEMA)
+    w = ParquetSnapshotTableIO(spark, root, **kw)
+
+    target = outer_idx % len(batches)
+    merged: list[tuple] = []
+    seq = 0
+
+    def _df(events, step_base):
+        nonlocal seq
+        rows = []
+        for k, v, ts_off, evop in events:
+            seq += 1
+            rows.append((k, None if evop == "D" else v, step_base + ts_off, seq, evop))
+            merged.append((k, v, step_base + ts_off, seq, evop))
+        return spark.createDataFrame(
+            rows, "k string, v double, ts long, _seq long, op string"
+        ).select("k", "v", "ts", "op", "_seq")
+
+    for i, events in enumerate(batches):
+        df = _df(events, i * 100)
+        if i == target:
+            ndf = _df(nested_events, i * 100 + 50)  # interleaved ts range
+            orig = t._write_buckets
+            fired = {"n": 0}
+
+            def hooked(dfx, sv, kind="base", _o=orig, _ndf=ndf, _f=fired):
+                files = _o(dfx, sv, kind)
+                _f["n"] += 1
+                if _f["n"] == 1:
+                    w.merge_apply(_ndf, batch_id="nested")
+                return files
+
+            t._write_buckets = hooked
+            try:
+                t.merge_apply(df, batch_id=f"b{i}")
+            finally:
+                t._write_buckets = orig
+        else:
+            t.merge_apply(df, batch_id=f"b{i}")
+
+    got = {r.k: (r.v, r.ts) for r in t.read().collect()}
+    assert got == _oracle(merged)
+    committed = t.committed_batches()
+    assert "nested" in committed
+    assert all(f"b{i}" in committed for i in range(len(batches)))

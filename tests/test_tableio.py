@@ -477,3 +477,31 @@ def test_sort_on_write_clusters_rows(spark, tmp_path):
             keys = [(r["conv_id"], r["turn_idx"]) for r in col]
             assert keys == sorted(keys)
     assert results[False] == results[True]
+
+
+def test_cow_merge_collapses_multi_event_batch(spark, tmp_path):
+    """A CoW batch carrying several events for one key must resolve to the
+    per-key (ts, seq) winner, not duplicate the key in the rewritten bucket
+    (found by the writer-vs-writer property fuzz: the later-seq event had an
+    EARLIER ts, and the uncollapsed join wrote both rows). MoR has always
+    resolved this at fold time; the CoW path now collapses up front unless
+    the caller passes assume_collapsed=True (replay_changelog's fused plans)."""
+    root = str(tmp_path / "cow_multi")
+    t = ParquetSnapshotTableIO(spark, root, key_cols=("conv_id", "turn_idx"),
+                               n_buckets=2, write_mode="cow")
+    t.init_empty(SCHEMA)
+    t.merge_apply(_chg(spark, [
+        # same key: seq 7 is newer in the log but carries an older ts —
+        # LWW on (ts, seq) must keep seq 6's text
+        ("c1", 0, "winner", _ts("2024-01-01T00:01:35"), "U", 6),
+        ("c1", 0, "stale", _ts("2024-01-01T00:00:50"), "U", 7),
+        ("c2", 0, "only", _ts("2024-01-01T00:00:01"), "U", 8),
+    ]), batch_id="b1")
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert rows == {("c1", 0): "winner", ("c2", 0): "only"}
+    # a delete that wins within the batch removes the key entirely
+    t.merge_apply(_chg(spark, [
+        ("c2", 0, "resurrect", _ts("2024-01-01T00:02:00"), "U", 9),
+        ("c2", 0, None, _ts("2024-01-01T00:03:00"), "D", 10),
+    ]), batch_id="b2")
+    assert {r.conv_id for r in t.read().collect()} == {"c1"}
