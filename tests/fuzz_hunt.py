@@ -68,3 +68,18 @@ if N > 0:
     def test_hunt_patch_batching(spark, tmp_path_factory, events, batch_at):
         inner = m_patch.test_patch_batching_equals_sequential_oracle
         inner.hypothesis.inner_test(spark, tmp_path_factory, events, batch_at)
+
+    @settings(**_SETTINGS)
+    @given(
+        batches=m_conc._batches,
+        nested_events=st.lists(m_conc._event, min_size=1, max_size=4),
+        outer_idx=st.integers(min_value=0, max_value=3),
+        mode=st.sampled_from(["mor", "cow"]),
+    )
+    def test_hunt_writer_vs_writer(
+        spark, tmp_path_factory, batches, nested_events, outer_idx, mode
+    ):
+        inner = m_conc.test_concurrent_merge_inside_merge_preserves_lww
+        inner.hypothesis.inner_test(
+            spark, tmp_path_factory, batches, nested_events, outer_idx, mode
+        )
