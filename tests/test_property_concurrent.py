@@ -45,6 +45,7 @@ _step = st.one_of(
     st.tuples(st.just("expire_stones"), st.none()),
     st.tuples(st.just("rebucket"), st.sampled_from([1, 2, 4])),
     st.tuples(st.just("expire_snaps"), st.none()),
+    st.tuples(st.just("optimize"), st.none()),
 )
 
 _schedule = st.lists(_step, min_size=3, max_size=7).filter(
@@ -103,6 +104,14 @@ def test_maintenance_interleaved_with_merges_preserves_lww(
             handle.rebucket(arg)
         elif op == "expire_snaps":
             handle.expire_snapshots(keep_last=2, grace_seconds=0.0)
+        elif op == "optimize":
+            # the composite sweep: policy folds + stone expiry (same
+            # watermark bound as expire_stones) + snapshot GC at grace 0
+            # (safe against in-flight writers via the _inflight markers)
+            from pentaho_kettle_spark.tableio.compaction import optimize
+
+            optimize(handle, keep_last=2, grace_seconds=0.0,
+                     tombstone_watermark=step_base)
 
     merged: list[tuple] = []
     seq = 0
