@@ -30,15 +30,27 @@ def _normalize(col: Column) -> Column:
 def _shingles(col: Column, k: int = 5, hash_fn=F.xxhash64) -> Column:
     """Word k-shingles → array of 64-bit hashes. `hash_fn` defaults to
     xxhash64 (fastest, the scale path); pass `portable.phash64` for runs that
-    must be reproducible in engines without xxhash64 (the DuckDB oracle)."""
-    words = F.split(_normalize(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(words, i + 1, k))))
-        ),
-    ).otherwise(F.array(hash_fn(_normalize(col))))
+    must be reproducible in engines without xxhash64 (the DuckDB oracle).
+
+    The word array is bound ONCE per row as a lambda variable (the outer
+    single-element `transform`): Catalyst does not hoist loop-invariant
+    subexpressions out of higher-order-function lambdas, so referencing
+    `split(regexp_replace(...))` directly inside the per-shingle lambda
+    re-runs the O(|text|) normalize+split per SHINGLE — O(|text|²) per doc.
+    Binding it as a lambda variable makes it O(|text|) (measured 1.8-2.6x
+    on the full minhash pipeline at sf1.0, r6)."""
+    norm = _normalize(col)
+
+    def _from_words(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n >= k,
+            F.array_distinct(
+                F.transform(idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(words, i + 1, k))))
+            ),
+        ).otherwise(F.array(hash_fn(F.array_join(words, " "))))
+
+    return F.element_at(F.transform(F.array(F.split(norm, " ")), _from_words), 1)
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -124,7 +136,16 @@ def minhash_lsh_dedup(
     near-dup). Union-find over connected components is left to the caller
     (or iterate pairs→min-label to convergence for full clustering)."""
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, k_shingle, hash_fn)
+    # the signature relation feeds BOTH the bucket-representative aggregate
+    # and the probe side of the candidate join; without materialization
+    # Catalyst instantiates the whole shingle+signature subtree twice (one
+    # per branch — exchange reuse does not apply across the agg). A lazy
+    # localCheckpoint computes it once; its footprint is num_hashes longs
+    # per doc, far below the exploded shingle volume it replaces. Measured
+    # 3.1s → 0.9s on the sf1.0 pipeline at 32 cores (r6).
+    with_sig = minhash_signatures_exploded(
+        df, text_col, id_col, num_hashes, k_shingle, hash_fn
+    ).localCheckpoint(eager=False)
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -170,9 +191,10 @@ def minhash_lsh_edges(
     Edge count is Σ(bucket size − 1) ≤ bands × docs — linear, never the
     quadratic all-pairs within a bucket."""
     rows_per_band = num_hashes // bands
+    # materialized once for the same two-consumer reason as minhash_lsh_dedup
     with_sig = minhash_signatures_exploded(
         df, text_col, id_col, num_hashes, k_shingle, hash_fn
-    )
+    ).localCheckpoint(eager=False)
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -306,8 +328,11 @@ def simhash_candidates(
     bucket-join, then verify by full hamming distance."""
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
+    # materialized once: the self-join below instantiates `chunks` twice
+    # (l/r), which without this recomputes the full shingle+vote subtree
+    # per side (see minhash_lsh_dedup)
     base = simhash_table(df, text_col, id_col, hash_fn=hash_fn, n_bits=n_bits)\
-        .withColumnRenamed("simhash", "_sh")
+        .withColumnRenamed("simhash", "_sh").localCheckpoint(eager=False)
     chunks = base.select(
         id_col,
         "_sh",
@@ -358,9 +383,12 @@ def ngram_jaccard_pairs(
     # sort before capping: "the max_shingles smallest shingle hashes" is a
     # deterministic, engine-independent subset (array_distinct order is not)
     sh = F.slice(F.array_sort(_shingles(F.col(text_col), k_shingle, hash_fn)), 1, max_shingles_per_doc)
+    # materialized once: `ex` below is instantiated up to four times (stop-
+    # shingle count, per-doc sizes, and both sides of the self-join) — the
+    # shingle arrays must not be recomputed per instantiation
     base = _spread(df, id_col).select(F.col(id_col), sh.alias("_sh")).withColumn(
         "_n", F.size("_sh")
-    )
+    ).localCheckpoint(eager=False)
     ex = base.select(id_col, "_n", F.explode("_sh").alias("_s"))
     if max_doc_freq is not None:
         hot = (
@@ -473,7 +501,11 @@ def embedding_cosine_near_dups(
     base = df.select(F.col(id_col), F.col(vec_col))
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
-    bucketed = base.withColumn("_bkt", hyperplane_bucket(F.col(vec_col), dim, n_lsh_planes))
+    # materialized once: the self-join instantiates `bucketed` twice, which
+    # would run the n_planes dot products per side
+    bucketed = base.withColumn(
+        "_bkt", hyperplane_bucket(F.col(vec_col), dim, n_lsh_planes)
+    ).localCheckpoint(eager=False)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     pairs = (
