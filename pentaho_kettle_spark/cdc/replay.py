@@ -17,7 +17,6 @@ import datetime as _dt
 from pentaho_kettle_spark.cdc.changelog import read_changelog
 from pentaho_kettle_spark.cdc.lww import lww_collapse, lww_collapse_salted
 from pentaho_kettle_spark.cdc.schema_evolution import evolve_and_conform
-from pentaho_kettle_spark.cdc.skew import detect_hot_keys
 from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
 
@@ -48,24 +47,46 @@ def replay_changelog(
     hot_keys = None
     if salted == "auto":
         # one sampled pass; the (≤1000-entry) hot list compiles into the
-        # collapse plan as a literal IN-set — no per-batch join
-        hot_keys = detect_hot_keys(changelog, key_cols=table.key_cols).collect()
-        salted = bool(hot_keys)
+        # collapse plan as a literal IN-set — no per-batch join. Salting is
+        # only ENGAGED when the hottest key's estimated per-batch volume
+        # would dominate a reducer task (skew.should_salt): the two-phase
+        # plan costs a second full exchange per batch, which a mildly-hot
+        # log never earns back (measured r6: +0.3-0.4s per 567k-row batch
+        # for a 0.5%-share hottest key).
+        from pentaho_kettle_spark.cdc.skew import hot_key_counts, should_salt
+
+        rows, sampled_total = hot_key_counts(changelog, key_cols=table.key_cols)
+        salted = should_salt(
+            rows, sampled_total, n_batches=n_batches,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
+        if salted:
+            hot_keys = [tuple(r[k] for k in table.key_cols) for r in rows]
 
     if n_batches <= 1:
         bounds = None
     else:
-        # delivery order = ingest_ts; chunk by equi-width quantiles (one cheap
-        # pass over one slim column). Bounds become TIMESTAMP literals so the
-        # per-batch filter pushes down to the parquet scan — on a time-ordered
-        # log (any real WAL/binlog segment layout) whole files/row-groups are
-        # skipped by footer stats and each batch scans ~1/n_batches of the log.
-        qs = [i / n_batches for i in range(1, n_batches)]
-        raw = changelog.select(
-            F.percentile_approx(F.col("ingest_ts").cast("double"), qs, 10000).alias("b")
-        ).collect()[0]["b"]
-        bounds = [_dt.datetime.fromtimestamp(b, tz=_dt.timezone.utc).replace(tzinfo=None)
-                  for b in raw]
+        # delivery order = ingest_ts; chunk by equi-depth quantiles. Bounds
+        # become TIMESTAMP literals so the per-batch filter pushes down to
+        # the parquet scan — on a time-ordered log (any real WAL/binlog
+        # segment layout) whole files/row-groups are skipped by footer stats
+        # and each batch scans ~1/n_batches of the log. The bounds only
+        # decide how events are CHUNKED — LWW replay is order-insensitive,
+        # so any split yields the identical final table — which lets us take
+        # them from parquet footer statistics (driver-side, zero Spark jobs)
+        # when the log is a parquet scan, instead of a full percentile pass
+        # over the column (guide §1/§6: don't run a job for what the footers
+        # already know). Non-parquet sources fall back to percentile_approx.
+        bounds = _footer_ts_bounds(changelog, n_batches)
+        if bounds is None:
+            qs = [i / n_batches for i in range(1, n_batches)]
+            raw = changelog.select(
+                F.percentile_approx(F.col("ingest_ts").cast("double"), qs, 10000).alias("b")
+            ).collect()[0]["b"]
+            bounds = [
+                _dt.datetime.fromtimestamp(b, tz=_dt.timezone.utc).replace(tzinfo=None)
+                for b in raw
+            ]
 
     lineage: list[dict] = []
     for i in range(n_batches):
@@ -98,6 +119,67 @@ def replay_changelog(
         if stop_after_batch is not None and i >= stop_after_batch:
             break
     return lineage
+
+
+def _footer_ts_bounds(changelog: DataFrame, n_batches: int) -> list | None:
+    """Equi-depth `ingest_ts` split bounds from parquet row-group footer
+    statistics — a driver-side metadata read, no Spark job.
+
+    Only used for batch CHUNKING (see caller): approximate bounds are fully
+    correct, they just shift which delivery chunk an event lands in. Row
+    groups are ranked by their ts minimum and boundaries taken at the
+    cumulative row-count quantiles; for a time-ordered log (the only layout
+    where per-batch pruning pays anyway) this matches the exact quantiles to
+    within one row group. Returns None (→ caller falls back to a Spark
+    percentile pass) when the plan is not a plain parquet scan or any row
+    group lacks ts stats."""
+    try:
+        files = changelog.inputFiles()
+    except Exception:  # noqa: BLE001 - non-file-backed plans
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    groups: list[tuple] = []  # (min_ts, max_ts, rows)
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # noqa: BLE001 - unreadable file → fall back
+            return None
+        try:
+            col_idx = md.schema.names.index("ingest_ts")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            groups.append((st.min, st.max, md.row_group(rg).num_rows))
+    if not groups:
+        return None
+    groups.sort(key=lambda g: (g[0], g[1]))
+    total = sum(g[2] for g in groups)
+    if total == 0:
+        return None
+    bounds = []
+    cum = 0
+    targets = [total * i / n_batches for i in range(1, n_batches)]
+    ti = 0
+    for mn, mx, rows in groups:
+        cum += rows
+        while ti < len(targets) and cum >= targets[ti]:
+            b = mx
+            if getattr(b, "tzinfo", None) is not None:
+                b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            bounds.append(b)
+            ti += 1
+    while len(bounds) < n_batches - 1:
+        bounds.append(groups[-1][1])
+    return bounds
 
 
 def apply_batch(

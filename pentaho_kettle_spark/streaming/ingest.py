@@ -25,7 +25,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from pentaho_kettle_spark.cdc.changelog import read_changelog_stream
 from pentaho_kettle_spark.cdc.replay import apply_batch
-from pentaho_kettle_spark.cdc.skew import detect_hot_keys
 from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
 
 
@@ -51,8 +50,17 @@ def start_cdc_ingest(
     def _apply(batch_df, epoch_id: int) -> None:
         use_salted, hot_keys = salted, None
         if salted == "auto":
-            hot_keys = detect_hot_keys(batch_df, key_cols=table.key_cols).collect()
-            use_salted = bool(hot_keys)
+            # same cost model as replay's auto mode: only pay the salted
+            # plan's second exchange when a hot key would dominate a task
+            from pentaho_kettle_spark.cdc.skew import hot_key_counts, should_salt
+
+            rows, sampled_total = hot_key_counts(batch_df, key_cols=table.key_cols)
+            use_salted = should_salt(
+                rows, sampled_total,
+                n_partitions=spark.sparkContext.defaultParallelism,
+            )
+            if use_salted:
+                hot_keys = [tuple(r[k] for k in table.key_cols) for r in rows]
         apply_batch(
             table,
             batch_df.drop("ingest_ts"),

@@ -159,6 +159,7 @@ def _arrow_fold_bucket(
     key_cols: list[str],
     lww_col: str,
     out_dir: str,
+    kind: str = "delta",
 ) -> dict:
     """Fold one bucket's delta files into ONE delta file with pyarrow only —
     zero Spark jobs, zero JVM memory traffic.
@@ -215,9 +216,10 @@ def _arrow_fold_bucket(
         "path": os.path.relpath(full, root),
         "schema_version": entries[0]["schema_version"],
         "rows": pf.metadata.num_rows,
-        "kind": "delta",
-        "del_rows": _del_rows(pf),
+        "kind": kind,
     }
+    if kind == "delta":
+        entry["del_rows"] = _del_rows(pf)
     if lww_col in pf.schema_arrow.names:
         mn, mx = _lww_minmax(pf, pf.schema_arrow.get_field_index(lww_col))
         mn, mx = _stat_us(mn), _stat_us(mx)
@@ -278,7 +280,9 @@ class ParquetSnapshotTableIO:
         write_mode: str = "cow",  # "cow" rewrite-on-merge | "mor" append deltas
         compact_delta_files: int = 16,  # mor: compact a bucket past this many deltas
         sort_on_write: bool = False,  # cluster rows by key within bucket files
-        minor_compaction_engine: str = "spark",  # "spark" | "arrow" (see compact_minor)
+        minor_compaction_engine: str = "spark",  # fold engine, "spark" |
+        # "arrow" — applies to minor folds (compact_minor) and, since r6,
+        # to size-bounded major folds too (see compact)
     ):
         self.spark = spark
         self.root = root
@@ -1289,16 +1293,31 @@ class ParquetSnapshotTableIO:
                 lineage_rec["compacted_buckets"] = over
         return lineage_rec
 
-    def compact(self, buckets: list[int] | None = None) -> list[int]:
+    def compact(
+        self, buckets: list[int] | None = None, engine: str | None = None
+    ) -> list[int]:
         """Fold delta files into base for the given buckets (all if None):
         read the collapsed state (tombstones kept — expire_tombstones drops
         them under a watermark policy) and rewrite those buckets as base.
+
+        `engine` (default = the table's `minor_compaction_engine`): with
+        "arrow", buckets whose pinned file bytes fit under
+        $PKS_ARROW_FOLD_MAX_BYTES (default 256 MB) fold in a pyarrow kernel
+        on a driver thread — no Spark job, no exchange, no JVM memory
+        traffic, exactly like compact_minor's arrow path but rewriting
+        base∪deltas to a new base. During sustained ingest this takes the
+        major-fold wave off the executors the ingest exchange is using
+        (guide §2: the fold's scan+exchange+write was pure memory-bandwidth
+        contention). Oversized buckets and buckets the Arrow kernel can't
+        fold (mixed schema versions) run through the Spark path unchanged —
+        on a real cluster the size guard keeps driver memory bounded.
 
         Concurrency-safe against a live ingest writer: the fold reads a
         pinned set of file entries, and the commit removes exactly those
         paths from the *current* manifest — delta files appended while the
         rewrite ran survive untouched (Iceberg RewriteFiles semantics).
         Returns the buckets actually compacted."""
+        engine = engine or self.minor_compaction_engine
         m = self.current_manifest()
         schema = TableSchema(**m["schema"])
         target = buckets if buckets is not None else [
@@ -1312,11 +1331,63 @@ class ParquetSnapshotTableIO:
             e for b, es in m["files"].items() if int(b) in target for e in es
         ]
         folded_paths = {e["path"] for e in folded}
-        df = self._read_files(folded, schema)
-        if df is None:
+
+        new_files: dict[str, list[dict]] = {}
+        spark_buckets = list(target)
+        if engine == "arrow":
+            from concurrent.futures import ThreadPoolExecutor
+
+            max_bytes = int(
+                os.environ.get("PKS_ARROW_FOLD_MAX_BYTES", str(256 * 1024 * 1024))
+            )
+            by_bucket = {
+                b: list(m["files"].get(str(b), [])) for b in target
+            }
+
+            def _bucket_bytes(es: list[dict]) -> int:
+                try:
+                    return sum(
+                        os.path.getsize(os.path.join(self.root, e["path"]))
+                        for e in es
+                    )
+                except OSError:
+                    return max_bytes + 1  # unreadable → Spark path
+            arrow_buckets = [
+                b for b in target
+                if by_bucket[b] and _bucket_bytes(by_bucket[b]) <= max_bytes
+            ]
+            if arrow_buckets:
+                outdir = self._new_write_dir()
+                spark_buckets = [b for b in target if b not in arrow_buckets]
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(arrow_buckets))
+                ) as ex:
+                    futs = {
+                        b: ex.submit(
+                            _arrow_fold_bucket, self.root, str(b), by_bucket[b],
+                            self.key_cols, self.lww_col, outdir, "base",
+                        )
+                        for b in arrow_buckets
+                    }
+                    for b, fut in futs.items():
+                        try:
+                            new_files[str(b)] = [fut.result()]
+                        except _ArrowFoldUnsupported:
+                            spark_buckets.append(b)
+        if spark_buckets:
+            spark_folded = [
+                e for b, es in m["files"].items() if int(b) in spark_buckets
+                for e in es
+            ]
+            df = self._read_files(spark_folded, schema)
+            if df is not None:
+                collapsed = self._collapse_rows(df, schema.names())
+                for b, es in self._write_buckets(
+                    collapsed, schema.version, kind="base"
+                ).items():
+                    new_files.setdefault(b, []).extend(es)
+        if not new_files and not folded_paths:
             return []
-        collapsed = self._collapse_rows(df, schema.names())
-        new_files = self._write_buckets(collapsed, schema.version, kind="base")
 
         def _mutate(cur: dict) -> dict:
             files = {}

@@ -105,3 +105,45 @@ def test_arrow_fold_after_schema_evolution_falls_back(spark, tmp_path):
     }
     assert versions  # table still readable, mixed-version entries intact
     assert t.read().count() > 0
+
+
+def test_arrow_major_fold_matches_spark(spark, tmp_path):
+    """compact(engine="arrow") — the r6 driver-side MAJOR fold — must leave
+    the same table state and manifest shape as the Spark rewrite."""
+    pdf = gen_changelog(8000, 400, seed=17)
+    ta = _ingest(spark, str(tmp_path / "arrow"), pdf)
+    ts_ = _ingest(spark, str(tmp_path / "spark"), pdf)
+
+    done_a = ta.compact(engine="arrow")
+    done_s = ts_.compact(engine="spark")
+    assert done_a == done_s and done_a
+
+    got_a, got_s = _sorted_pdf(ta.read()), _sorted_pdf(ts_.read())
+    pd.testing.assert_frame_equal(got_a, got_s)
+    oracle = (
+        pandas_oracle_apply(pdf)
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_a[oracle.columns], oracle)
+
+    # every folded bucket is ONE base file on both engines, same row stats
+    ma, ms = ta.current_manifest()["files"], ts_.current_manifest()["files"]
+    for b in map(str, done_a):
+        assert [e["kind"] for e in ma[b]] == ["base"]
+        assert [e["kind"] for e in ms[b]] == ["base"]
+        assert ma[b][0]["rows"] == ms[b][0]["rows"]
+
+
+def test_arrow_major_fold_size_guard_routes_to_spark(spark, tmp_path, monkeypatch):
+    """Buckets above $PKS_ARROW_FOLD_MAX_BYTES must take the Spark path
+    (driver memory stays bounded) — and still fold correctly."""
+    monkeypatch.setenv("PKS_ARROW_FOLD_MAX_BYTES", "1")  # force everything big
+    pdf = gen_changelog(4000, 200, seed=23)
+    t = _ingest(spark, str(tmp_path / "big"), pdf)
+    done = t.compact(engine="arrow")
+    assert done
+    oracle = (
+        pandas_oracle_apply(pdf)
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(t.read())[oracle.columns], oracle)

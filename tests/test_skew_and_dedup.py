@@ -297,3 +297,54 @@ def test_gopher_quality_zero_shuffle_plan(spark):
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert count_shuffles(gopher_quality(docs)) == 0
+
+
+def test_should_salt_cost_model():
+    """Salting engages only when the hottest key's per-batch volume would
+    dominate a reducer task (r6: the always-salt plan cost a second full
+    exchange per batch that a mildly-hot log never earns back)."""
+    from pyspark.sql import Row
+
+    from pentaho_kettle_spark.cdc.skew import should_salt
+
+    # cold: nothing detected
+    assert not should_salt([], 0)
+    # mildly hot: 0.5% share of a 2M-event log split 4 ways = ~2.5k rows
+    rows = [Row(conv_id="c", turn_idx=0, count=100)]
+    assert not should_salt(rows, 20000, sample_fraction=0.01, n_batches=4,
+                           n_partitions=32)
+    # genuinely hot: 25% share of a 40M-event log = 2.5M rows per batch,
+    # 8x the average task's load — trips both the absolute floor and the
+    # skew_factor bound
+    rows = [Row(conv_id="c", turn_idx=0, count=100000)]
+    assert should_salt(rows, 400000, sample_fraction=0.01, n_batches=4,
+                       n_partitions=32)
+
+
+def test_footer_ts_bounds_split_and_fallback(spark, tmp_path):
+    """Parquet-backed logs get driver-side equi-depth bounds from footer
+    stats (no Spark job); non-file plans return None (caller falls back)."""
+    import datetime as dt
+
+    from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
+    from pentaho_kettle_spark.cdc.replay import _footer_ts_bounds
+    from pentaho_kettle_spark.fixtures import gen_changelog
+
+    pdf = gen_changelog(4000, 100, seed=5)
+    path = str(tmp_path / "log")
+    df = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+    df.repartitionByRange(4, "ingest_ts").sortWithinPartitions(
+        "ingest_ts"
+    ).write.parquet(path)
+    log = spark.read.schema(CHANGELOG_SCHEMA).parquet(path)
+    bounds = _footer_ts_bounds(log, 4)
+    assert bounds is not None and len(bounds) == 3
+    assert all(isinstance(b, dt.datetime) for b in bounds)
+    assert bounds == sorted(bounds)
+    # equi-depth within a row group: each chunk holds a sane share
+    from pyspark.sql import functions as F
+    n = log.count()
+    first = log.filter(F.col("ingest_ts") <= F.lit(bounds[0])).count()
+    assert 0 < first < n
+    # non-file-backed plan -> None
+    assert _footer_ts_bounds(df, 4) is None
