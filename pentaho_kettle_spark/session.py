@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PKS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the bucket-aligned CoW merge joins two sides both hash-partitioned
+        # on `_bucket`, a strict subset of the join keys (bucket, *key_cols).
+        # With this at its default (true) Spark refuses subset-key
+        # co-partitioning and re-shuffles BOTH sides by the full key set —
+        # exactly the exchange the fused plan exists to remove. Subset
+        # clustering is deliberate here: n_buckets is the table's layout
+        # parallelism, at cluster scale it is sized ≫ executor slots.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     # shuffle/spill dir on tmpfs when available: the sandbox's virtio disk
     # stalls for seconds under writeback (cluster deploys use local SSDs and

@@ -1028,8 +1028,13 @@ class ParquetSnapshotTableIO:
         names = schema.names()
 
         # cast/conform changes to the current table schema (type widening is
-        # applied to the table *before* merge by the caller; here we align)
+        # applied to the table *before* merge by the caller; here we align).
+        # An upstream `_bucket` column (the fused bucket-aligned collapse)
+        # is carried through: the merge join below then co-partitions on it
+        # and the bucket write needs no re-staging exchange.
+        keep_bucket = [F.col("_bucket")] if "_bucket" in changes.columns else []
         chg = changes.select(
+            *keep_bucket,
             *[F.col(n).cast(dict((f["name"], f["type"]) for f in schema.fields)[n]).alias(n)
               for n in names],
             F.col("op"),
@@ -1037,7 +1042,11 @@ class ParquetSnapshotTableIO:
         )
         if not assume_collapsed:
             # within-batch LWW: same resolution as cdc.lww.lww_collapse,
-            # inlined over the conformed columns (op rides in the payload)
+            # inlined over the conformed columns (op rides in the payload).
+            # `_bucket` is dropped first: this collapse re-partitions by key,
+            # so the bucket alignment is gone anyway and keeping the column
+            # would falsely signal _write_buckets to skip its staging.
+            chg = chg.drop("_bucket")
             payload = [c for c in chg.columns if c not in self.key_cols]
             ordk = F.struct(F.col(self.lww_col), F.col(SYS_SEQ))
             chg = (
@@ -1055,11 +1064,12 @@ class ParquetSnapshotTableIO:
         try:
             # bucket pruning: which buckets does this batch touch?
             # (independent of the manifest — computed once across retries)
+            bcol = (
+                F.col("_bucket") if "_bucket" in chg.columns
+                else bucket_expr(self.key_cols[0], self.n_buckets)
+            )
             touched = [
-                r["b"]
-                for r in chg.select(
-                    bucket_expr(self.key_cols[0], self.n_buckets).alias("b")
-                ).distinct().collect()
+                r["b"] for r in chg.select(bcol.alias("b")).distinct().collect()
             ]
             # optimistic concurrency (Iceberg's commit retry loop): the
             # rewrite is planned against manifest `m`; if another writer
@@ -1108,43 +1118,80 @@ class ParquetSnapshotTableIO:
             str(b): {e["path"] for e in m["files"].get(str(b), [])}
             for b in touched
         }
-        current = self.read_full(buckets=touched, manifest=m)
+        fused = "_bucket" in chg.columns
+        bucket_out = [F.col("_bucket")] if fused else []
+        if not any(planned[str(b)] for b in touched):
+            # BOOTSTRAP fast path: every touched bucket is empty as of `m`,
+            # so the full-outer merge join would join against nothing — the
+            # whole batch is inserts/delete-noops by construction. Skipping
+            # the join removes one full exchange of the batch (the table
+            # side's key shuffle + the join itself); the commit-time
+            # conflict check below still guards the empty-set assumption,
+            # so a concurrent writer landing first forces a replan through
+            # the join path. Same outcomes, same metrics, same files.
+            merged = chg.select(
+                *bucket_out,
+                *[F.col(n) for n in names],
+                F.col(SYS_SEQ),
+                (F.col("op") == F.lit("D")).alias(SYS_DELETED),
+                F.when(F.col("op") == "D", F.lit("delete_noop"))
+                .otherwise(F.lit("inserted"))
+                .alias("_outcome"),
+            )
+        else:
+            current = self.read_full(buckets=touched, manifest=m)
+            if fused:
+                # bucket-aligned merge (r6): `chg` arrives hash-partitioned
+                # by `_bucket` from the fused collapse; staging the table
+                # side by the SAME bucket expression makes the full-outer
+                # join co-partitioned — the batch is never re-shuffled by
+                # key, and the merged output is already laid out for the
+                # bucket write (one exchange of table bytes instead of a
+                # key-shuffle of both sides plus a staging exchange).
+                current = current.withColumn(
+                    "_bucket", bucket_expr(key[0], self.n_buckets)
+                ).repartition(self.n_buckets, "_bucket")
 
-        c = chg.alias("c")
-        t = current.alias("t")
-        cond = [F.col(f"c.{k}") == F.col(f"t.{k}") for k in key]
-        joined = c.join(t, cond, "full_outer")
+            c = chg.alias("c")
+            t = current.alias("t")
+            cond = [F.col(f"c.{k}") == F.col(f"t.{k}") for k in key]
+            if fused:
+                cond = [F.col("c._bucket") == F.col("t._bucket"), *cond]
+            joined = c.join(t, cond, "full_outer")
 
-        c_stamp = F.struct(F.col(f"c.{lww}").alias("ts"), F.col(f"c.{SYS_SEQ}").alias("s"))
-        t_stamp = F.struct(F.col(f"t.{lww}").alias("ts"), F.col(f"t.{SYS_SEQ}").alias("s"))
-        change_wins = F.col(f"t.{key[0]}").isNull() | (c_stamp > t_stamp)
-        has_change = F.col(f"c.{key[0]}").isNotNull()
-        take_change = has_change & change_wins
+            c_stamp = F.struct(F.col(f"c.{lww}").alias("ts"), F.col(f"c.{SYS_SEQ}").alias("s"))
+            t_stamp = F.struct(F.col(f"t.{lww}").alias("ts"), F.col(f"t.{SYS_SEQ}").alias("s"))
+            change_wins = F.col(f"t.{key[0]}").isNull() | (c_stamp > t_stamp)
+            has_change = F.col(f"c.{key[0]}").isNotNull()
+            take_change = has_change & change_wins
 
-        out_cols = [
-            F.when(take_change, F.col(f"c.{n}")).otherwise(F.col(f"t.{n}")).alias(n)
-            for n in names
-        ]
-        out_cols.append(
-            F.when(take_change, F.col(f"c.{SYS_SEQ}"))
-            .otherwise(F.col(f"t.{SYS_SEQ}"))
-            .alias(SYS_SEQ)
-        )
-        out_cols.append(
-            F.when(take_change, F.col("c.op") == F.lit("D"))
-            .otherwise(F.coalesce(F.col(f"t.{SYS_DELETED}"), F.lit(False)))
-            .alias(SYS_DELETED)
-        )
-        outcome = (
-            F.when(~has_change, F.lit("carried"))
-            .when(~change_wins, F.lit("stale_lost"))
-            .when(F.col("c.op") == "D",
-                  F.when(F.col(f"t.{key[0]}").isNotNull() & ~F.col(f"t.{SYS_DELETED}"),
-                         F.lit("deleted")).otherwise(F.lit("delete_noop")))
-            .when(F.col(f"t.{key[0]}").isNull() | F.col(f"t.{SYS_DELETED}"), F.lit("inserted"))
-            .otherwise(F.lit("updated"))
-        )
-        merged = joined.select(*out_cols, outcome.alias("_outcome"))
+            out_cols = [
+                F.coalesce(F.col("c._bucket"), F.col("t._bucket")).alias("_bucket")
+            ] if fused else []
+            out_cols += [
+                F.when(take_change, F.col(f"c.{n}")).otherwise(F.col(f"t.{n}")).alias(n)
+                for n in names
+            ]
+            out_cols.append(
+                F.when(take_change, F.col(f"c.{SYS_SEQ}"))
+                .otherwise(F.col(f"t.{SYS_SEQ}"))
+                .alias(SYS_SEQ)
+            )
+            out_cols.append(
+                F.when(take_change, F.col("c.op") == F.lit("D"))
+                .otherwise(F.coalesce(F.col(f"t.{SYS_DELETED}"), F.lit(False)))
+                .alias(SYS_DELETED)
+            )
+            outcome = (
+                F.when(~has_change, F.lit("carried"))
+                .when(~change_wins, F.lit("stale_lost"))
+                .when(F.col("c.op") == "D",
+                      F.when(F.col(f"t.{key[0]}").isNotNull() & ~F.col(f"t.{SYS_DELETED}"),
+                             F.lit("deleted")).otherwise(F.lit("delete_noop")))
+                .when(F.col(f"t.{key[0]}").isNull() | F.col(f"t.{SYS_DELETED}"), F.lit("inserted"))
+                .otherwise(F.lit("updated"))
+            )
+            merged = joined.select(*out_cols, outcome.alias("_outcome"))
 
         # one pass: observe() collects op counts without a second job
         from pyspark.sql import Observation
