@@ -262,6 +262,10 @@ def _q_merge_rows_diff(spark, sf):
 
 def _q_unique_rows(spark, sf):
     e = _t(spark, sf, "events")
+    # project BEFORE the dedup aggregate (guide §2.3): the winner is pinned
+    # by (ts, event_id), so dropping value/props here changes nothing and
+    # keeps the wide props string out of the exchange and the agg buffer
+    e = e.select("user_id", "event_type", "event_id", "ts")
     out = ops.unique_rows(e, ["user_id", "event_type"], order_by=["ts", "event_id"])
     return out.select(
         "user_id", "event_type", "event_id", _us("ts").alias("ts_us")
@@ -490,6 +494,10 @@ def _q_cdc_lww_collapse(spark, sf):
     from pentaho_kettle_spark.cdc.lww import lww_collapse
 
     e = _t(spark, sf, "events").withColumnRenamed("event_id", "seq")
+    # project BEFORE the collapse (guide §2.3): the query returns only
+    # (value, ts, seq) of each winner, so props never needs to cross the
+    # exchange or ride the max_by buffer
+    e = e.select("user_id", "event_type", "seq", "ts", "value")
     out = lww_collapse(e, key_cols=["user_id", "event_type"], lww_col="ts", seq_col="seq")
     return out.select(
         "user_id", "event_type", "value",

@@ -46,18 +46,12 @@ def lww_collapse(
     key_cols = key_cols or ["conv_id", "turn_idx"]
     payload = [c for c in events.columns if c not in key_cols]
     ordk = F.struct(F.col(lww_col), F.col(seq_col))
-    # Scale-adaptive spread (guide §2.5 input skew): max_by(struct) plans as
-    # a SortAggregate, so the partial aggregate SORTS each input partition —
-    # an input arriving in fewer partitions than half the cores (e.g. one
-    # parquet row group) serializes that sort on one task. Re-keying such an
-    # input by the group keys first costs one exchange of the raw rows but
-    # runs the (then complete-mode) aggregate at full width, and the groupBy
-    # reuses the exchange. Well-partitioned inputs (the ingest path's
-    # multi-split scans) pass through untouched — no plan change.
-    spark = events.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if events.rdd.getNumPartitions() < max(2, target // 2):
-        events = events.repartition(target, *[F.col(k) for k in key_cols])
+    # Scale-adaptive spread (plans/spread.py): max_by(struct) plans as a
+    # SortAggregate, so a one-row-group input would serialize the partial
+    # sort onto one task; well-partitioned ingest scans pass untouched.
+    from pentaho_kettle_spark.plans.spread import spread_if_narrow
+
+    events = spread_if_narrow(events, key_cols)
     agg = events.groupBy(*key_cols).agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w"),
     )

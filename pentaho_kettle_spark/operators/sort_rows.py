@@ -101,7 +101,24 @@ def unique_rows(
     emit_duplicates: also return the duplicate rows (error stream).
     Winner is pinned by order_by (Kettle kept the first arrival)."""
     if count_field is None and not emit_duplicates:
-        return df.dropDuplicates(keys)
+        payload = [c for c in df.columns if c not in keys]
+        if order_by is None or not payload:
+            return df.dropDuplicates(keys)
+        # order_by given → the winner is PINNED: min_by over the order
+        # struct, one aggregate with map-side partials — not dropDuplicates,
+        # which keeps an arbitrary row and only happened to match the pinned
+        # oracle while the input arrived in one deterministic partition
+        # (r6 hardening: any re-partitioning upstream would have made the
+        # kept rows run-dependent).
+        from pentaho_kettle_spark.plans.spread import spread_if_narrow
+
+        ordk = F.struct(*[F.col(c) for c in order_by])
+        agg = spread_if_narrow(df, keys).groupBy(*keys).agg(
+            F.min_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("w")
+        )
+        by_name = {k: F.col(k) for k in keys}
+        by_name.update({c: F.col(f"w.{c}").alias(c) for c in payload})
+        return agg.select(*[by_name[c] for c in df.columns])
     from pyspark.sql import Window
 
     ordk = [F.col(c) for c in (order_by or keys)]

@@ -234,3 +234,21 @@ def test_fuzzy_match_first_letter_blocking(spark):
     got = {r.word: r.match for r in out.collect()}
     assert got["martha"] == "marhta"
     assert got["quincy"] is None
+
+
+def test_unique_rows_order_by_pins_winner_under_repartition(spark):
+    """order_by must pick the same winner regardless of input partitioning
+    (r6: the old dropDuplicates path kept an arbitrary row)."""
+    from pyspark.sql import functions as F
+
+    from pentaho_kettle_spark.operators.sort_rows import unique_rows
+
+    rows = [("a", i % 3, 100 - i) for i in range(60)]  # key "a"/keyed by k
+    df = spark.createDataFrame(rows, "key string, k int, v int")
+    for parts in (1, 7):
+        out = unique_rows(
+            df.repartition(parts), ["key", "k"], order_by=["v"]
+        ).orderBy("k").collect()
+        # winner per (key, k) = the row with the smallest v
+        assert [(r["k"], r["v"]) for r in out] == [(0, 43), (1, 42), (2, 41)]
+        assert [r["key"] for r in out] == ["a", "a", "a"]
