@@ -151,7 +151,12 @@ class IncrementalAggregate:
                 "op", F.when(F.col("cnt") <= 0, F.lit("D")).otherwise(F.lit("U"))
             )
         )
-        res = self.table.merge_apply(batch, batch_id=f"sync-{frm}-{to}")
+        # `batch` is one row per group key by construction (aggregate_deltas
+        # groups by the key; `cur` is already key-unique) — skip the safety
+        # collapse exchange inside merge_apply
+        res = self.table.merge_apply(
+            batch, batch_id=f"sync-{frm}-{to}", assume_collapsed=True
+        )
         res["synced_from"], res["synced_to"] = frm, to
         return res
 

@@ -40,7 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy (guide §6): smaller files at similar read speed —
+        # and measured FASTER to write on the bucket-partitioned CDC batch
+        # (0.99-1.15s vs 1.23-1.5s per 567k-row batch at 32 cores, 17MB vs
+        # 25MB on disk, r6)
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("PKS_PARQUET_CODEC", "zstd"))
         # INT64 micros, not legacy INT96: INT96 carries no footer min/max
         # statistics, which the table IO's lww_after file pruning reads;
         # micros is also Iceberg's on-disk timestamp representation

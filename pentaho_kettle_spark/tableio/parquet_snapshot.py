@@ -308,8 +308,12 @@ class ParquetSnapshotTableIO:
         self._commit_lock = threading.Lock()
         # in-flight markers for data dirs this handle has written but not
         # yet committed (see INFLIGHT_TTL); cleared on successful commit,
-        # left to age out on crash/abort
-        self._pending_markers: list[str] = []
+        # left to age out on crash/abort. THREAD-LOCAL: two threads sharing
+        # one handle (the documented ingest-batch + async-compactor shape)
+        # each commit their own operation's markers — a global list would
+        # let thread B's commit drop thread A's marker while A is still
+        # pre-commit, re-exposing A's in-flight files to grace=0 orphan GC.
+        self._markers_tl = threading.local()
         # lww_after file pruning needs footer min/max stats on the lww
         # column; legacy INT96 timestamps carry none, so pin INT64 micros
         # (Iceberg's representation) even under a caller-built session
@@ -444,6 +448,7 @@ class ParquetSnapshotTableIO:
         treatment: full SEGMENT_ROWS-entry segments are spilled to
         content-addressed files — a growing ledger only ever rewrites its
         partial tail, never its history."""
+        self._refresh_markers()  # keep GC protection through the commit
         SEGMENT_ROWS = 1024
         manifest = dict(manifest)
         files = manifest.pop("files", {})
@@ -472,11 +477,13 @@ class ParquetSnapshotTableIO:
         with open(tmp, "w") as f:
             f.write(name)
         os.rename(tmp, self._current_path())  # atomic pointer swap == commit
-        # the write dirs this handle staged are now referenced by a
-        # committed snapshot (or superseded) — release their GC protection
-        while self._pending_markers:
+        # the write dirs THIS THREAD's operation staged are now referenced
+        # by a committed snapshot (or superseded) — release their GC
+        # protection; another thread's pre-commit markers are untouched
+        paths = getattr(self._markers_tl, "paths", [])
+        while paths:
             try:
-                os.remove(self._pending_markers.pop())
+                os.remove(paths.pop())
             except OSError:
                 pass
 
@@ -669,8 +676,21 @@ class ParquetSnapshotTableIO:
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w"):
             pass  # the marker's mtime is the liveness signal
-        self._pending_markers.append(marker)
+        if not hasattr(self._markers_tl, "paths"):
+            self._markers_tl.paths = []
+        self._markers_tl.paths.append(marker)
         return outdir
+
+    def _refresh_markers(self) -> None:
+        """Re-stamp this thread's in-flight markers (liveness = mtime): a
+        write that outlives INFLIGHT_TTL would otherwise lose GC protection
+        mid-operation. Called after each bulk data write and again on entry
+        to the commit path."""
+        for mk in getattr(self._markers_tl, "paths", []):
+            try:
+                os.utime(mk)
+            except OSError:
+                pass
 
     def _write_buckets(
         self, df: DataFrame, schema_version: int, kind: str = "base"
@@ -702,6 +722,7 @@ class ParquetSnapshotTableIO:
             # its OWN sort by (_bucket) alone, clobbering the key order.
             staged = staged.sortWithinPartitions("_bucket", *self.key_cols)
         staged.write.mode("overwrite").partitionBy("_bucket").parquet(outdir)
+        self._refresh_markers()  # long write done — restart the TTL clock
         import pyarrow.parquet as pq
 
         # per-file tombstone counts are recorded for DELTA files only — they
@@ -982,8 +1003,12 @@ class ParquetSnapshotTableIO:
             F.lit("U").alias("op"),
             F.col("_p_seq").alias(SYS_SEQ),
         ).select(*names, "op", SYS_SEQ)
+        # `resolved` is one row per key by construction (the fold keeps
+        # row_number 1 per key) — skip merge_apply's safety collapse so the
+        # patch path doesn't pay a redundant exchange per batch
         return self.merge_apply(
-            resolved, batch_id=batch_id, seq_high_watermark=seq_high_watermark
+            resolved, batch_id=batch_id, seq_high_watermark=seq_high_watermark,
+            assume_collapsed=True,
         )
 
     def merge_apply(
@@ -2239,8 +2264,18 @@ class ParquetSnapshotTableIO:
                         continue
             for dirpath, _dn, fns in os.walk(data_root, topdown=False):
                 rel_dir = os.path.relpath(dirpath, data_root)
-                if rel_dir != "." and rel_dir.split(os.sep)[0] in protected:
-                    continue  # another writer's live uncommitted dir
+                if rel_dir != ".":
+                    top = rel_dir.split(os.sep)[0]
+                    # TOCTOU guard: the _inflight listing above ran BEFORE
+                    # this walk, so a writer that registered its marker
+                    # after the listing (but whose files already landed)
+                    # would be unprotected — re-check the marker path per
+                    # candidate dir. Writer-side ordering (marker created
+                    # before any file) makes this re-check sufficient.
+                    if top in protected or os.path.exists(
+                        os.path.join(inflight_root, top)
+                    ):
+                        continue  # another writer's live uncommitted dir
                 if "_temporary" in dirpath.split(os.sep):
                     # Spark's in-flight task-attempt area: files here are
                     # renamed into place at job commit, so any path we list

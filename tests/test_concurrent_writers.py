@@ -152,3 +152,45 @@ def test_expire_snapshots_gc_spares_inflight_writer(spark, tmp_path):
     # committed markers were released: a later GC still collects true orphans
     import os
     assert os.listdir(os.path.join(root, "_inflight")) == []
+
+
+def test_commit_releases_only_own_threads_markers(spark, tmp_path):
+    """Two threads share one handle: thread B's commit must not drop
+    thread A's pre-commit in-flight marker (r6 ADVICE fix — a dropped
+    marker re-exposes A's uncommitted files to grace=0 orphan GC)."""
+    import os
+    import threading
+
+    import pyspark.sql.types as T
+
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    t = ParquetSnapshotTableIO(spark, str(tmp_path / "t"), n_buckets=4)
+    t.init_empty(T.StructType([T.StructField("conv_id", T.StringType()),
+                               T.StructField("turn_idx", T.IntegerType()),
+                               T.StructField("ts", T.TimestampType())]))
+
+    staged = {}
+    ready = threading.Event()
+    release = threading.Event()
+
+    def writer_a():
+        outdir = t._new_write_dir()  # registers A's marker thread-locally
+        staged["marker"] = os.path.join(
+            t.root, "_inflight", os.path.basename(outdir)
+        )
+        ready.set()
+        release.wait(30)
+        # A now finishes its own commit — ITS marker is released
+        t._commit_mutation(lambda cur: dict(cur))
+
+    th = threading.Thread(target=writer_a)
+    th.start()
+    ready.wait(30)
+    assert os.path.exists(staged["marker"])
+    # thread B (main) commits while A is pre-commit
+    t._commit_mutation(lambda cur: dict(cur))
+    assert os.path.exists(staged["marker"]), "B's commit dropped A's marker"
+    release.set()
+    th.join(30)
+    assert not os.path.exists(staged["marker"])  # A's own commit released it
