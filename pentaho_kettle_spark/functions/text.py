@@ -191,11 +191,20 @@ def gopher_quality(
         F.array_intersect(words, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
     ).cast("long")
 
+    # Lambda-variable binding (r6, same fix as dedup._shingles): Catalyst
+    # does not hoist loop-invariant subexpressions out of higher-order
+    # lambdas, so a lambda body that references the ARRAY EXPRESSION itself
+    # (F.get(ls, i-1) where ls = array_sort(filter(split(text)))) re-runs
+    # the whole split+sort once per ELEMENT — O(n²·|text|) per document.
+    # Binding the array as a lambda variable through a single-element outer
+    # transform makes every F.get a cheap bound-reference index.
+    def _bind1(expr, fn):
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
     # duplicate-line metrics: sort once, duplicates become adjacent
     lines = F.array_sort(
         F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
     )
-    n_lines = F.size(lines).cast("long")
 
     def _line_metrics(ls):
         prev_eq = F.transform(ls, lambda x, i: x.eqNullSafe(F.get(ls, i - 1)))
@@ -215,44 +224,65 @@ def gopher_quality(
         total_chars = F.aggregate(
             F.transform(ls, F.length), F.lit(0), lambda a, x: a + x
         )
-        return extras, member_chars, total_chars
+        return F.struct(
+            F.size(ls).alias("n"),
+            extras.alias("extras"),
+            member_chars.alias("member_chars"),
+            total_chars.alias("total_chars"),
+        )
 
-    extras, member_chars, total_chars = _line_metrics(lines)
+    line_stats = _bind1(lines, _line_metrics)
+    n_lines = line_stats["n"].cast("long")
     dup_line_frac = F.when(
-        n_lines > 0, _r6(extras / n_lines)
+        n_lines > 0, _r6(line_stats["extras"] / n_lines)
     ).otherwise(F.lit(0.0))
     dup_line_char_frac = F.when(
-        total_chars > 0, _r6(member_chars / total_chars)
+        line_stats["total_chars"] > 0,
+        _r6(line_stats["member_chars"] / line_stats["total_chars"]),
     ).otherwise(F.lit(0.0))
 
-    # top-2-gram share: longest equal run in the sorted gram array
-    grams = F.array_sort(
-        F.transform(
-            F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-            lambda x, i: F.concat(x, F.lit(" "), F.get(words, i + 1)),
+    # top-2-gram share: longest equal run in the sorted gram array —
+    # words and the gram array are each bound once (see _bind1 note)
+    def _gram_metrics(ws):
+        grams = F.array_sort(
+            F.transform(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda x, i: F.concat(x, F.lit(" "), F.get(ws, i + 1)),
+            )
         )
-    )
-    n_grams = F.size(grams)
-    top_cnt = F.aggregate(
-        grams,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("cur"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
-            .otherwise(F.lit(1))
-            .alias("cur"),
-            F.greatest(
-                acc["best"],
-                F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    top_share = F.when(n_grams > 0, _r6(top_cnt / n_grams)).otherwise(F.lit(0.0))
+
+        def _top_run(gs):
+            return F.struct(
+                F.size(gs).alias("n"),
+                F.aggregate(
+                    gs,
+                    F.struct(
+                        F.lit(None).cast("string").alias("prev"),
+                        F.lit(0).alias("cur"),
+                        F.lit(0).alias("best"),
+                    ),
+                    lambda acc, x: F.struct(
+                        x.alias("prev"),
+                        F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+                        .otherwise(F.lit(1))
+                        .alias("cur"),
+                        F.greatest(
+                            acc["best"],
+                            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+                            .otherwise(F.lit(1)),
+                        ).alias("best"),
+                    ),
+                    lambda acc: acc["best"],
+                ).alias("top"),
+            )
+
+        return _bind1(grams, _top_run)
+
+    gram_stats = _bind1(words, _gram_metrics)
+    n_grams = gram_stats["n"]
+    top_share = F.when(
+        n_grams > 0, _r6(gram_stats["top"] / n_grams)
+    ).otherwise(F.lit(0.0))
 
     out = df.select(
         F.col(id_col),

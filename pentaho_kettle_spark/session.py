@@ -40,12 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # zstd over snappy (guide §6): smaller files at similar read speed —
-        # and measured FASTER to write on the bucket-partitioned CDC batch
-        # (0.99-1.15s vs 1.23-1.5s per 567k-row batch at 32 cores, 17MB vs
-        # 25MB on disk, r6)
+        # parquet codec: measured both ways on the CDC cycle (r6). zstd wins
+        # the isolated bucket WRITE (1.0-1.15s vs 1.2-1.5s, 17MB vs 25MB)
+        # but the full MoR replay — which also reads every delta back into
+        # the compaction folds — is consistently ~12% slower under zstd
+        # (6.6-6.8s vs 5.9-6.0s interleaved full-bench), so snappy stays
+        # the default. On real clusters where storage bytes dominate, set
+        # PKS_PARQUET_CODEC=zstd (guide §6's recommendation for that
+        # regime).
         .config("spark.sql.parquet.compression.codec",
-                os.environ.get("PKS_PARQUET_CODEC", "zstd"))
+                os.environ.get("PKS_PARQUET_CODEC", "snappy"))
         # INT64 micros, not legacy INT96: INT96 carries no footer min/max
         # statistics, which the table IO's lww_after file pruning reads;
         # micros is also Iceberg's on-disk timestamp representation
