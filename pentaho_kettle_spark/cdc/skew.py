@@ -30,6 +30,16 @@ def hot_key_counts(
     is worth its extra exchange (see `should_salt`).
     """
     key_cols = key_cols or ["conv_id", "turn_idx"]
+    # Fast path: when the log is a plain parquet scan, sample a bounded set
+    # of row groups DRIVER-SIDE with pyarrow — zero Spark jobs (guide §1.2:
+    # don't run cluster jobs for a driver-sized decision). Detection only
+    # steers the salting cost model, never results, so the slight bias of a
+    # chunked sample vs a uniform one is an acceptable trade for removing
+    # 2-3 jobs per replay. Falls back to the Spark sample for non-file
+    # plans (streaming micro-batches, derived DataFrames).
+    arrow = _arrow_key_sample(events, key_cols, hot_threshold_share, max_hot_keys)
+    if arrow is not None:
+        return arrow
     sample = events.sample(fraction=sample_fraction, seed=42)
     # ONE full pass: the per-key counts are aggregated once and materialized
     # (localCheckpoint — bounded: ≤ distinct sampled keys, spread across
@@ -47,6 +57,82 @@ def hot_key_counts(
         .limit(max_hot_keys)
         .collect()
     )
+    return rows, sampled_total
+
+
+def _arrow_key_sample(
+    events: DataFrame,
+    key_cols: list[str],
+    hot_threshold_share: float,
+    max_hot_keys: int,
+    target_rows: int = 250_000,
+) -> tuple[list, int] | None:
+    """Driver-side hot-key sample from evenly-spaced parquet row groups.
+    Returns (rows, sampled_total) shaped like the Spark path (each row
+    supports r[key] and r["count"]), or None when the plan is not a plain
+    parquet scan / pyarrow can't serve it."""
+    try:
+        files = events.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    # only safe when the DataFrame is the bare scan (no filters/projections
+    # that would change which rows exist): detect by plan leaf-ness
+    try:
+        if events.schema.fieldNames() and any(
+            k not in events.columns for k in key_cols
+        ):
+            return None
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    groups = []  # (path, rg_index, rows)
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # noqa: BLE001
+            return None
+        for rg in range(md.num_row_groups):
+            groups.append((path, rg, md.row_group(rg).num_rows))
+    if not groups:
+        return None
+    # evenly-spaced subset until the row target is met
+    want = max(1, min(len(groups), round(
+        target_rows / max(sum(r for _, _, r in groups) / len(groups), 1)
+    )))
+    step = max(1, len(groups) // want)
+    picked = groups[::step][:want]
+    import pandas as pd
+
+    parts = []
+    for path, rg, _rows in picked:
+        try:
+            parts.append(
+                pq.ParquetFile(path).read_row_group(rg, columns=key_cols).to_pandas()
+            )
+        except Exception:  # noqa: BLE001 - exotic types → Spark path
+            return None
+    pdf = pd.concat(parts, ignore_index=True)
+    sampled_total = len(pdf)
+    if sampled_total == 0:
+        return [], 0
+    counts = pdf.groupby(key_cols, dropna=False).size().sort_values(ascending=False)
+    thresh = max(int(hot_threshold_share * sampled_total), 2)
+    def _native(x):
+        return x.item() if hasattr(x, "item") else x
+
+    rows = [
+        {
+            **{
+                c: _native(v)
+                for c, v in zip(key_cols, k if isinstance(k, tuple) else (k,))
+            },
+            "count": int(v_cnt),
+        }
+        for k, v_cnt in counts[counts >= thresh].head(max_hot_keys).items()
+    ]
     return rows, sampled_total
 
 
