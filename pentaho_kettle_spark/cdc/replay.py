@@ -87,8 +87,7 @@ def replay_changelog(
                 for b in raw
             ]
 
-    lineage: list[dict] = []
-    for i in range(n_batches):
+    def _batch_df(i: int) -> DataFrame:
         if bounds is None:
             batch = changelog
         else:
@@ -100,13 +99,15 @@ def replay_changelog(
             if hi is not None:
                 cond = cond & (F.col("ingest_ts") <= F.lit(hi))
             batch = changelog.filter(cond)
-        batch = batch.select(*payload_cols)
-        import time as _time
+        return batch.select(*payload_cols)
 
+    import time as _time
+
+    def _apply(i: int) -> dict:
         _t0 = _time.time()
         rec = apply_batch(
             table,
-            batch,
+            _batch_df(i),
             batch_id=f"{run_id}-{i:05d}",
             salted=salted,
             n_salts=n_salts,
@@ -114,7 +115,30 @@ def replay_changelog(
             hot_keys=hot_keys,
         )
         rec["batch_sec"] = round(_time.time() - _t0, 2)
-        lineage.append(rec)
+        return rec
+
+    # MoR batches PIPELINE two-deep (guide §2.6 — overlap independent
+    # jobs): a MoR apply is an append-only optimistic commit, so adjacent
+    # batches can compute concurrently and back-fill each other's stage
+    # tails and driver-side commit gaps; LWW makes the result identical
+    # under any completion order, and the committed-batch manifest keeps
+    # resume exactly-once either way. CoW batches stay sequential — two
+    # concurrent CoW merges over the same buckets would just livelock the
+    # conflict-retry loop — as do crash-simulation runs (stop_after_batch).
+    if (
+        table.write_mode == "mor"
+        and stop_after_batch is None
+        and n_batches > 1
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_apply, i) for i in range(n_batches)]
+            return [f.result() for f in futs]
+
+    lineage: list[dict] = []
+    for i in range(n_batches):
+        lineage.append(_apply(i))
         if stop_after_batch is not None and i >= stop_after_batch:
             break
     return lineage

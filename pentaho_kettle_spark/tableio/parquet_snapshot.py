@@ -1399,6 +1399,9 @@ class ParquetSnapshotTableIO:
         if not target:
             return []
         # pin the exact entries being folded (not "whatever is current later")
+        pinned_by_bucket = {
+            str(b): {e["path"] for e in m["files"].get(str(b), [])} for b in target
+        }
         folded = [
             e for b, es in m["files"].items() if int(b) in target for e in es
         ]
@@ -1461,27 +1464,41 @@ class ParquetSnapshotTableIO:
         if not new_files and not folded_paths:
             return []
 
+        done: list[int] = []
+
         def _mutate(cur: dict) -> dict:
+            done.clear()
             files = {}
             for b, es in cur["files"].items():
-                if int(b) in target:
+                cur_paths = {e["path"] for e in es}
+                # STALE-PIN guard (Iceberg RewriteFiles conflict rule): if
+                # another fold already consumed any of the entries this
+                # rewrite pinned, OUR rewrite of that bucket is based on a
+                # superseded file set — committing it would re-add rows the
+                # winning fold already rewrote (two base files per bucket =
+                # duplicated data; caught by the r6 pipelined-replay race).
+                # The bucket is left exactly as the winner committed it and
+                # our output file becomes a grace-aged orphan.
+                if int(b) in target and pinned_by_bucket.get(b, set()) <= cur_paths:
                     kept = [e for e in es if e["path"] not in folded_paths]
                     files[b] = new_files.get(b, []) + kept
+                    done.append(int(b))
                 else:
                     files[b] = list(es)
             for b, es in new_files.items():
                 if b not in files:
                     files[b] = list(es)
+                    done.append(int(b))
             out = dict(cur)
             out["files"] = files
             out["lineage"] = [*cur["lineage"], {
-                "mode": "compact", "compacted_buckets": sorted(target),
+                "mode": "compact", "compacted_buckets": sorted(done),
                 "folded_files": len(folded_paths),
             }]
             return out
 
         self._commit_mutation(_mutate)
-        return sorted(target)
+        return sorted(done)
 
     def rebucket(self, n_buckets: int) -> dict:
         """Bucket-layout evolution (Iceberg partition-spec-evolution-with-
@@ -1628,29 +1645,40 @@ class ParquetSnapshotTableIO:
             ).items():
                 new_files.setdefault(b, []).extend(es)
 
+        done: list[int] = []
+
         def _mutate(cur: dict) -> dict:
+            done.clear()
             files = {}
             for b, es in cur["files"].items():
-                if int(b) in target:
+                cur_paths = {e["path"] for e in es}
+                pinned = {e["path"] for e in by_bucket.get(int(b), [])}
+                # stale-pin guard — same conflict rule as compact(): if a
+                # concurrent fold already consumed any pinned delta, our
+                # merged delta would re-add its rows; leave the bucket as
+                # the winner committed it
+                if int(b) in target and pinned <= cur_paths:
                     kept = [e for e in es if e["path"] not in folded_paths]
                     # entry order in the manifest is irrelevant to readers —
                     # read_full collapses base ∪ deltas by LWW either way
                     files[b] = new_files.get(b, []) + kept
+                    done.append(int(b))
                 else:
                     files[b] = list(es)
             for b, es in new_files.items():
                 if b not in files:
                     files[b] = list(es)
+                    done.append(int(b))
             out = dict(cur)
             out["files"] = files
             out["lineage"] = [*cur["lineage"], {
-                "mode": "compact_minor", "compacted_buckets": sorted(target),
+                "mode": "compact_minor", "compacted_buckets": sorted(done),
                 "folded_files": len(folded_paths),
             }]
             return out
 
         self._commit_mutation(_mutate)
-        return sorted(target)
+        return sorted(done)
 
     def expire_tombstones(self, watermark=None) -> None:
         """Housekeeping rewrite dropping tombstones.

@@ -220,3 +220,44 @@ def test_policy_routes_major_vs_minor():
     assert CompactionPolicy(max_delta_files=0).plan(manifest) == {
         "major": [0, 1, 2], "minor": []
     }
+
+
+def test_concurrent_inline_compaction_never_duplicates(spark, tmp_path):
+    """Pipelined MoR replay + inline compaction (compact_delta_files set)
+    runs compact() from two batch threads concurrently. Before the r6
+    stale-pin guard, two folds of the same bucket each removed the pinned
+    entries and added their own base file — BOTH bases survived and the
+    table doubled (caught by the cdc_checkpoint_resume oracle row). The
+    loser's fold must now leave the bucket exactly as the winner committed
+    it."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA
+    from pentaho_kettle_spark.cdc.replay import replay_changelog
+    from pentaho_kettle_spark.fixtures import gen_changelog, pandas_oracle_apply
+    from pentaho_kettle_spark.tableio.parquet_snapshot import ParquetSnapshotTableIO
+
+    pdf = gen_changelog(8000, 300, seed=31)
+    log = spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
+    t = ParquetSnapshotTableIO(
+        spark, str(tmp_path / "t"), n_buckets=8, write_mode="mor",
+        compact_delta_files=1,  # aggressive: every batch commit compacts
+    )
+    t.init_empty(T.StructType(
+        [f for f in CHANGELOG_SCHEMA.fields
+         if f.name not in ("seq", "op", "ingest_ts")]
+    ))
+    replay_changelog(spark, t, log, n_batches=4, run_id="dup")
+    t.compact()
+    got = (
+        t.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    got["ts"] = got["ts"].astype("datetime64[us]")
+    oracle = (
+        pandas_oracle_apply(pdf).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[oracle.columns], oracle)
+    # and no bucket carries more than one base file
+    for b, es in t.current_manifest()["files"].items():
+        assert sum(1 for e in es if e["kind"] == "base") <= 1, (b, es)
