@@ -73,17 +73,17 @@ def _arrow_key_sample(
     parquet scan / pyarrow can't serve it."""
     try:
         files = events.inputFiles()
+        # only safe when the DataFrame IS the bare scan: any Project/Filter
+        # on top would make a file-level sample silently read pre-transform
+        # rows (and pyarrow ignores missing columns rather than raising).
+        # A bare scan's analyzed plan is a LEAF relation.
+        if not events._jdf.queryExecution().analyzed().children().isEmpty():
+            return None
     except Exception:  # noqa: BLE001
         return None
     if not files or not all(f.endswith(".parquet") for f in files):
         return None
-    # only safe when the DataFrame is the bare scan (no filters/projections
-    # that would change which rows exist): detect by plan leaf-ness
     try:
-        if events.schema.fieldNames() and any(
-            k not in events.columns for k in key_cols
-        ):
-            return None
         import pyarrow.parquet as pq
     except ImportError:
         return None
@@ -94,6 +94,8 @@ def _arrow_key_sample(
             md = pq.ParquetFile(path).metadata
         except Exception:  # noqa: BLE001
             return None
+        if any(k not in set(md.schema.names) for k in key_cols):
+            return None  # key columns must exist PHYSICALLY in the files
         for rg in range(md.num_row_groups):
             groups.append((path, rg, md.row_group(rg).num_rows))
     if not groups:

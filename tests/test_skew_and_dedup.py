@@ -348,3 +348,27 @@ def test_footer_ts_bounds_split_and_fallback(spark, tmp_path):
     assert 0 < first < n
     # non-file-backed plan -> None
     assert _footer_ts_bounds(df, 4) is None
+
+
+def test_arrow_key_sample_rejects_derived_frames(spark, tmp_path):
+    """The driver-side row-group sampler must only serve BARE parquet
+    scans: a projected/filtered frame would silently sample pre-transform
+    rows (r6 regression — pyarrow ignores missing columns instead of
+    raising)."""
+    from pyspark.sql import functions as F
+
+    from pentaho_kettle_spark.cdc.skew import _arrow_key_sample
+
+    path = str(tmp_path / "ev")
+    spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    ).write.parquet(path)
+    scan = spark.read.parquet(path)
+    # bare scan -> served
+    r = _arrow_key_sample(scan, ["k"], 0.01, 10)
+    assert r is not None and r[1] == 1000
+    # derived column -> refused (falls back to the Spark sample)
+    derived = scan.select(F.when(F.col("k") > 3, -1).otherwise(F.col("k")).alias("k2"), "v")
+    assert _arrow_key_sample(derived, ["k2"], 0.01, 10) is None
+    # filtered scan -> refused (rows would be wrong)
+    assert _arrow_key_sample(scan.filter("v < 10"), ["k"], 0.01, 10) is None
