@@ -36,7 +36,6 @@ def main():
 
     from pentaho_kettle_spark.cdc.changelog import CHANGELOG_SCHEMA, read_changelog
     from pentaho_kettle_spark.cdc import replay as rp
-    from pentaho_kettle_spark.cdc.skew import detect_hot_keys
     from pentaho_kettle_spark.tableio.compaction import (
         CompactionPolicy,
         CompactionScheduler,
@@ -71,29 +70,19 @@ def main():
             interval_sec=1.0,
         )
         t0 = time.time()
-        # phase 1: hot keys (what replay_changelog's salted="auto" does)
-        spark.sparkContext.setJobDescription("hotkeys")
-        hk = detect_hot_keys(log, key_cols=table.key_cols).collect()
-        t_hot = time.time()
+        t_hot = t0
         sched.start()
         spark.sparkContext.setJobDescription("replay")
         lineage = rp.replay_changelog(
-            spark, table, log, n_batches=4, salted=bool(hk), n_salts=16,
-            run_id=f"prof{p}", hot_keys_precomputed=hk,
-        ) if "hot_keys_precomputed" in rp.replay_changelog.__code__.co_varnames else None
-        if lineage is None:
-            # fall back: replay does its own hot-key pass; time it whole
-            lineage = rp.replay_changelog(
-                spark, table, log, n_batches=4, salted="auto", n_salts=16,
-                run_id=f"prof{p}",
-            )
+            spark, table, log, n_batches=4, salted="auto", n_salts=16,
+            run_id=f"prof{p}",
+        )
         t_replay = time.time()
         sched.stop(final_cycle=True)
         t_drain = time.time()
         batch_secs = [r.get("batch_sec") for r in lineage]
         print(json.dumps({
             "pass": p,
-            "hotkeys_sec": round(t_hot - t0, 2),
             "replay_sec": round(t_replay - t_hot, 2),
             "batch_secs": batch_secs,
             "bounds_sec": round((t_replay - t_hot) - sum(b or 0 for b in batch_secs), 2),
