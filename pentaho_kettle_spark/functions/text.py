@@ -174,22 +174,8 @@ def gopher_quality(
     c = F.col(text_col)
 
     words = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != "")
-    n_words = F.size(words).cast("long")
     nonspace_chars = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
-    mean_word_len = F.when(
-        n_words > 0, _r6(nonspace_chars / n_words)
-    ).otherwise(F.lit(0.0))
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-    frac_alpha = F.when(
-        n_words > 0, _r6(alpha_words / n_words)
-    ).otherwise(F.lit(0.0))
     symbols = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), F.lit(0)))
-    symbol_ratio = F.when(
-        n_words > 0, _r6(symbols / n_words)
-    ).otherwise(F.lit(0.0))
-    stop_hits = F.size(
-        F.array_intersect(words, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
-    ).cast("long")
 
     # Lambda-variable binding (r6, same fix as dedup._shingles): Catalyst
     # does not hoist loop-invariant subexpressions out of higher-order
@@ -231,19 +217,9 @@ def gopher_quality(
             total_chars.alias("total_chars"),
         )
 
-    line_stats = _bind1(lines, _line_metrics)
-    n_lines = line_stats["n"].cast("long")
-    dup_line_frac = F.when(
-        n_lines > 0, _r6(line_stats["extras"] / n_lines)
-    ).otherwise(F.lit(0.0))
-    dup_line_char_frac = F.when(
-        line_stats["total_chars"] > 0,
-        _r6(line_stats["member_chars"] / line_stats["total_chars"]),
-    ).otherwise(F.lit(0.0))
-
     # top-2-gram share: longest equal run in the sorted gram array —
     # words and the gram array are each bound once (see _bind1 note)
-    def _gram_metrics(ws):
+    def _word_metrics(ws):
         grams = F.array_sort(
             F.transform(
                 F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
@@ -276,15 +252,58 @@ def gopher_quality(
                 ).alias("top"),
             )
 
-        return _bind1(grams, _top_run)
+        return F.struct(
+            F.size(ws).alias("n"),
+            F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).alias("alpha"),
+            F.size(
+                F.array_intersect(
+                    ws, F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+                )
+            ).alias("stop_hits"),
+            _bind1(grams, _top_run).alias("gram"),
+        )
 
-    gram_stats = _bind1(words, _gram_metrics)
-    n_grams = gram_stats["n"]
+    # ONE evaluation of the text → words/lines pipelines per row (second
+    # half of the r6 binding fix): every word- and line-derived metric is a
+    # field of a single struct computed in its own projection. The field
+    # extractions live in a SEPARATE projection over the struct attribute —
+    # CollapseProject leaves the pair alone because the struct alias is
+    # non-cheap and referenced many times, so split/lower/sort run once per
+    # row instead of once per referencing output column.
+    metrics = F.struct(
+        _bind1(words, _word_metrics).alias("w"),
+        _bind1(lines, _line_metrics).alias("l"),
+        nonspace_chars.alias("nonspace"),
+        symbols.alias("symbols"),
+    )
+    stats = df.select(F.col(id_col), metrics.alias("_m"))
+
+    m = F.col("_m")
+    n_words = m["w"]["n"].cast("long")
+    mean_word_len = F.when(
+        n_words > 0, _r6(m["nonspace"] / n_words)
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        n_words > 0, _r6(m["w"]["alpha"] / n_words)
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0, _r6(m["symbols"] / n_words)
+    ).otherwise(F.lit(0.0))
+    stop_hits = m["w"]["stop_hits"].cast("long")
+    n_lines = m["l"]["n"].cast("long")
+    dup_line_frac = F.when(
+        n_lines > 0, _r6(m["l"]["extras"] / n_lines)
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        m["l"]["total_chars"] > 0,
+        _r6(m["l"]["member_chars"] / m["l"]["total_chars"]),
+    ).otherwise(F.lit(0.0))
+    n_grams = m["w"]["gram"]["n"]
     top_share = F.when(
-        n_grams > 0, _r6(gram_stats["top"] / n_grams)
+        n_grams > 0, _r6(m["w"]["gram"]["top"] / n_grams)
     ).otherwise(F.lit(0.0))
 
-    out = df.select(
+    out = stats.select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
