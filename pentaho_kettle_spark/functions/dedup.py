@@ -498,20 +498,31 @@ def embedding_cosine_near_dups(
     plane construction). Pass `dim` to keep the plan fully lazy (otherwise a
     one-row driver sniff reads it)."""
     from pentaho_kettle_spark.functions.similarity import (
-        cosine_expr,
+        dot_expr,
         hyperplane_bucket,
+        norm_expr,
     )
 
-    base = df.select(F.col(id_col), F.col(vec_col))
+    # _spread: the in-bucket pair count is ~|bucket|² per bucket — compute
+    # volume far above the input bytes — and the scoring join's streaming
+    # side inherits the partitioning materialized here. A single-row-group
+    # parquet input would otherwise score every pair on one core (measured
+    # 36 s → 3 s at 32 cores for 3.4M pairs, sf1).
+    base = _spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
     # materialized once: the self-join instantiates `bucketed` twice, which
-    # would run the n_planes dot products per side
+    # would run the n_planes dot products per side. The vector norm rides
+    # along (one fold per ROW, materialized), so each of the quadratically
+    # many in-bucket PAIRS pays a single dot product instead of dot + two
+    # re-derived norms — same doubles, same ops, bit-identical cosines.
     bucketed = base.withColumn(
         "_bkt", hyperplane_bucket(F.col(vec_col), dim, n_lsh_planes)
-    ).localCheckpoint(eager=False)
+    ).withColumn("_nrm", norm_expr(F.col(vec_col))).localCheckpoint(eager=False)
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._nrm") * F.col("b._nrm")
+    )
     pairs = (
         a.join(b, (F.col("a._bkt") == F.col("b._bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(

@@ -27,6 +27,26 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _py_norm(v: list[float]) -> float:
+    """Driver-side twin of norm_expr over a DOUBLE-literal array (the
+    `_lit_vec` form): Catalyst folds `acc + v*v` left-to-right in doubles
+    and sqrt is IEEE correctly rounded on both sides, so this is
+    bit-identical to evaluating norm_expr(_lit_vec(v)) per row — computed
+    once instead of once per corpus row."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _bind1(expr: Column, fn) -> Column:
+    """Bind `expr` once as a lambda variable (Catalyst does not hoist
+    loop-invariant subtrees out of higher-order-function lambdas)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Per-row vector math multiplies each row's work ~dim×queries times, so
     parallelism must track that compute volume, not the input bytes — a
@@ -50,13 +70,26 @@ def brute_force_topk(
     """Exact cosine top-k per query: broadcast the (small) query set against
     the corpus, score JVM-side, keep k per query with one aggregation
     (no global sort; per-partition partial top-k via AQE hash agg)."""
+    # norms are precomputed once per side BELOW the join (the projections
+    # can't collapse across it), so each of the |corpus|·|queries| scored
+    # pairs pays one dot product instead of dot + two re-derived norms —
+    # same doubles, same ops, bit-identical cosines
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        )
     )
-    scored = _spread(corpus, id_col).crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col("_qv")).alias("cosine"),
+    scored = (
+        _spread(corpus, id_col)
+        .withColumn("_vn", norm_expr(F.col(vec_col)))
+        .crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias("cosine"),
+        )
     )
     from pyspark.sql import Window
 
@@ -102,18 +135,23 @@ def lsh_ann_topk(
     analog where the 'inverted list' is the LSH bucket."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    cb = _spread(corpus, id_col).withColumn(
-        "_bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    cb = (
+        _spread(corpus, id_col)
+        .withColumn("_bkt", hyperplane_bucket(F.col(vec_col), dim, n_planes))
+        .withColumn("_vn", norm_expr(F.col(vec_col)))
     )
     qb = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")).withColumn(
-            "_bkt", hyperplane_bucket(F.col("_qv"), dim, n_planes)
-        )
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        ).withColumn("_bkt", hyperplane_bucket(F.col("_qv"), dim, n_planes))
     )
+    # per-side norms precomputed below the join (see brute_force_topk)
     scored = cb.join(qb, on="_bkt").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col("_qv")).alias("cosine"),
+        (dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -162,39 +200,59 @@ def ivf_topk(
     def _lit_vec(v):
         return F.array(*[F.lit(float(x)) for x in v])
 
+    # centroid norms as plan literals (bit-identical to norm_expr over the
+    # double-literal arrays — see _py_norm), and the row's own norm bound
+    # ONCE as a lambda variable instead of re-derived per centroid: the
+    # assignment drops from n_cells×(dot+2 norms) to n_cells dots + 1 norm
+    cnorms = [_py_norm(c) for c in centroids]
+
     def _cell_expr(vec: Column) -> Column:
         # argmax cosine over centroid literals; ties break to the LOWEST
         # cell index (array_max on struct(cos, -idx) → max cos, then max -idx)
-        entries = [
-            F.struct(
-                cosine_expr(vec, _lit_vec(c)).alias("c"),
-                F.lit(-i).alias("ni"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-        return -F.array_max(F.array(*entries))["ni"]
+        def _inner(nv):
+            entries = [
+                F.struct(
+                    (dot_expr(vec, _lit_vec(c)) / (nv * F.lit(cn))).alias("c"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i, (c, cn) in enumerate(zip(centroids, cnorms))
+            ]
+            return -F.array_max(F.array(*entries))["ni"]
+
+        return _bind1(norm_expr(vec), _inner)
 
     def _probe_expr(vec: Column) -> Column:
         # the n_probe nearest cells: sort struct(-cos, idx) ascending
-        entries = [
-            F.struct(
-                (-cosine_expr(vec, _lit_vec(c))).alias("nc"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-        ordered = F.sort_array(F.array(*entries))
-        return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["i"])
+        def _inner(nv):
+            entries = [
+                F.struct(
+                    (-(dot_expr(vec, _lit_vec(c)) / (nv * F.lit(cn)))).alias("nc"),
+                    F.lit(i).alias("i"),
+                )
+                for i, (c, cn) in enumerate(zip(centroids, cnorms))
+            ]
+            ordered = F.sort_array(F.array(*entries))
+            return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["i"])
 
-    cb = _spread(corpus, id_col).withColumn("_cell", _cell_expr(F.col(vec_col)))
-    qb = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-        .withColumn("_cell", F.explode(_probe_expr(F.col("_qv"))))
+        return _bind1(norm_expr(vec), _inner)
+
+    cb = (
+        _spread(corpus, id_col)
+        .withColumn("_cell", _cell_expr(F.col(vec_col)))
+        .withColumn("_vn", norm_expr(F.col(vec_col)))
     )
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        ).withColumn("_cell", F.explode(_probe_expr(F.col("_qv"))))
+    )
+    # per-side norms precomputed below the join (see brute_force_topk)
     scored = cb.join(qb, on="_cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col("_qv")).alias("cosine"),
+        (dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_vn") * F.col("_qn"))).alias("cosine"),
     )
     from pyspark.sql import Window
 
