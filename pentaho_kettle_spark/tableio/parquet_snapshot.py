@@ -1584,10 +1584,13 @@ class ParquetSnapshotTableIO:
             fold otherwise competes with the ingest exchange for memory
             bandwidth (the measured 32-stream bottleneck). Buckets the
             Arrow path can't fold (mixed schema versions, exotic key types)
-            fall back to one Spark job transparently. For a multi-executor
-            cluster the same pure function distributes as
-            `sc.parallelize(items).map(_arrow_fold_bucket)` — shared
-            storage is the only requirement.
+            fall back to one Spark job transparently.
+          * "arrow-distributed" — the same pure per-bucket fold shipped to
+            executors via `sc.parallelize(items).map(_arrow_fold_bucket)`,
+            one task per bucket; shared storage is the only requirement.
+            Right for a multi-executor cluster where the driver's cores
+            can't cover the fold fan-out; equivalence with the driver-thread
+            path is test-pinned (test_arrow_compaction).
 
         Same RewriteFiles pinning as compact(): delta files appended by a
         concurrent ingest batch while this ran survive untouched."""
@@ -1616,7 +1619,38 @@ class ParquetSnapshotTableIO:
 
         new_files: dict[str, list[dict]] = {}
         spark_buckets = list(target)
-        if engine == "arrow":
+        if engine == "arrow-distributed":
+            # cluster-scale variant of the arrow path: the same pure
+            # per-bucket fold shipped to executors as ONE task per bucket
+            # (no scan→exchange→write query plan — each task is a pyarrow
+            # kernel over shared storage). Right when the driver's cores
+            # can't cover the fold fan-out; local deployments keep "arrow"
+            # (driver threads skip task scheduling and pickling entirely).
+            outdir = self._new_write_dir()
+            spark_buckets = []
+            root, key_cols, lww_col = self.root, self.key_cols, self.lww_col
+            items = [(b, by_bucket[b]) for b in target]
+
+            def _fold(item):
+                b, entries = item
+                try:
+                    return b, _arrow_fold_bucket(
+                        root, str(b), entries, key_cols, lww_col, outdir
+                    ), None
+                except _ArrowFoldUnsupported as exc:
+                    return b, None, str(exc)
+
+            results = (
+                self.spark.sparkContext.parallelize(items, len(items))
+                .map(_fold)
+                .collect()
+            )
+            for b, entry, _err in results:
+                if entry is None:
+                    spark_buckets.append(b)
+                else:
+                    new_files[str(b)] = [entry]
+        elif engine == "arrow":
             from concurrent.futures import ThreadPoolExecutor
 
             outdir = self._new_write_dir()

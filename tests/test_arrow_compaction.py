@@ -147,3 +147,32 @@ def test_arrow_major_fold_size_guard_routes_to_spark(spark, tmp_path, monkeypatc
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(_sorted_pdf(t.read())[oracle.columns], oracle)
+
+
+def test_arrow_distributed_minor_fold_matches_thread_path(spark, tmp_path):
+    """engine="arrow-distributed" (per-bucket folds as Spark tasks) must be
+    indistinguishable from the driver-thread arrow path: same due buckets,
+    same table state, same per-bucket manifest stats."""
+    pdf = gen_changelog(8000, 400, seed=11)
+    td = _ingest(spark, str(tmp_path / "dist"), pdf)
+    ta = _ingest(spark, str(tmp_path / "arrow"), pdf)
+
+    done_d = td.compact_minor(engine="arrow-distributed")
+    done_a = ta.compact_minor(engine="arrow")
+    assert done_d == done_a and done_d
+
+    got_d, got_a = _sorted_pdf(td.read()), _sorted_pdf(ta.read())
+    pd.testing.assert_frame_equal(got_d, got_a)
+    oracle = (
+        pandas_oracle_apply(pdf)
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_d[oracle.columns], oracle)
+
+    md, ma = td.current_manifest()["files"], ta.current_manifest()["files"]
+    for b in map(str, done_d):
+        ed = [e for e in md[b] if e["kind"] == "delta"]
+        ea = [e for e in ma[b] if e["kind"] == "delta"]
+        assert len(ed) == len(ea) == 1  # k deltas folded to ONE
+        for stat in ("rows", "del_rows", "lww_min", "lww_max", "schema_version"):
+            assert ed[0].get(stat) == ea[0].get(stat), (b, stat, ed, ea)
