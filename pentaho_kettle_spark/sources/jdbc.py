@@ -3,11 +3,13 @@ the engine was missing (SURVEY §2.1 tableinput/TableInput.java,
 tableoutput/TableOutput.java; §2.3 databaselookup/DatabaseLookup.java,
 databasejoin/DatabaseJoin.java).
 
-No database (or JDBC driver jar) exists in this sandbox, so this module is
-structured like tableio/iceberg.py: everything decidable without a live DB —
-option construction, pushdown SQL generation, partitioned-read planning, and
-the join semantics — is pure, unit-tested code; only the final
-`spark.read.jdbc` call is gated at runtime.
+This module is structured like tableio/iceberg.py: everything decidable
+without a live DB — option construction, pushdown SQL generation,
+partitioned-read planning, and the join semantics — is pure, unit-tested
+code; the final `spark.read.jdbc` call additionally has a runtime smoke
+against embedded Derby (the one JDBC engine whose jars ship with Spark):
+write → partitioned read → database_lookup, see
+tests/test_jdbc.py::test_jdbc_runtime_roundtrip_embedded_derby.
 
 Scale notes:
   * Table input parallelism comes from `partition_column/num_partitions`

