@@ -147,6 +147,32 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _conform_cols(batch_cols, schema_fields, key_cols, lww_col) -> list:
+    """Align a merge batch to the table schema. A column the batch lacks is
+    legal ONLY when it is neither a key nor the LWW stamp: it means the
+    schema evolved (add) after this producer was built — added columns are
+    nullable by construction, so the batch conforms with typed NULLs
+    (Iceberg/Delta writer semantics). A missing key/LWW column is a real
+    producer bug and raises by name instead of surfacing as an analyzer
+    error deep in the merge plan. (Caught by the r6 schema-evolution-vs-
+    writer fuzz axis: an evolution committed inside another writer's
+    pre-commit window made every later old-producer batch crash.)"""
+    have = set(batch_cols)
+    cols = []
+    for f in schema_fields:
+        n, t = f["name"], f["type"]
+        if n in have:
+            cols.append(F.col(n).cast(t).alias(n))
+        elif n in key_cols or n == lww_col:
+            raise ValueError(
+                f"merge batch is missing required column {n!r} "
+                f"(key/LWW columns cannot be null-filled)"
+            )
+        else:
+            cols.append(F.lit(None).cast(t).alias(n))
+    return cols
+
+
 class _ArrowFoldUnsupported(Exception):
     """This bucket's delta set needs the Spark fold path (mixed schema
     versions or a type pyarrow's group_by can't key on)."""
@@ -1060,8 +1086,7 @@ class ParquetSnapshotTableIO:
         keep_bucket = [F.col("_bucket")] if "_bucket" in changes.columns else []
         chg = changes.select(
             *keep_bucket,
-            *[F.col(n).cast(dict((f["name"], f["type"]) for f in schema.fields)[n]).alias(n)
-              for n in names],
+            *_conform_cols(changes.columns, schema.fields, self.key_cols, self.lww_col),
             F.col("op"),
             F.col(SYS_SEQ).cast("long").alias(SYS_SEQ),
         )
@@ -1293,14 +1318,12 @@ class ParquetSnapshotTableIO:
         hot bucket every batch; MoR amortizes that into scheduled compaction.
         """
         schema = TableSchema(**m["schema"])
-        names = schema.names()
-        types = {f["name"]: f["type"] for f in schema.fields}
         keep_bucket = (
             [F.col("_bucket")] if "_bucket" in changes.columns else []
         )
         delta = changes.select(
             *keep_bucket,
-            *[F.col(n).cast(types[n]).alias(n) for n in names],
+            *_conform_cols(changes.columns, schema.fields, self.key_cols, self.lww_col),
             F.col(SYS_SEQ).cast("long").alias(SYS_SEQ),
             (F.col("op") == F.lit("D")).alias(SYS_DELETED),
         )

@@ -241,3 +241,82 @@ def test_concurrent_merge_inside_merge_preserves_lww(
     committed = t.committed_batches()
     assert "nested" in committed
     assert all(f"b{i}" in committed for i in range(len(batches)))
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution-vs-writer fuzz (r6, VERDICT #7 third axis): a second
+# handle COMMITS an add/widen evolution inside the first writer's
+# pre-commit window, so the writer's files land under the pre-evolution
+# schema version while the manifest has already moved on. Later batches
+# then merge under the evolved schema (mixed-version files per bucket).
+# The property: the LWW fold is schema-version-blind — reads must equal
+# the sequential oracle on the original columns, with the added column
+# null everywhere no batch supplied it.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=_batches,
+    outer_idx=st.integers(min_value=0, max_value=3),
+    mode=st.sampled_from(["mor", "cow"]),
+    new_type=st.sampled_from(["string", "double"]),
+)
+def test_schema_evolution_inside_merge_preserves_lww(
+    spark, tmp_path_factory, batches, outer_idx, mode, new_type
+):
+    root = str(tmp_path_factory.mktemp("fuzz3") / "t")
+    kw = dict(key_cols=("k",), lww_col="ts", n_buckets=2,
+              write_mode=mode, compact_delta_files=None)
+    t = ParquetSnapshotTableIO(spark, root, **kw)
+    t.init_empty(SCHEMA)
+    w = ParquetSnapshotTableIO(spark, root, **kw)
+
+    target = outer_idx % len(batches)
+    merged: list[tuple] = []
+    seq = 0
+
+    def _df(events, step_base):
+        nonlocal seq
+        rows = []
+        for k, v, ts_off, evop in events:
+            seq += 1
+            rows.append((k, None if evop == "D" else v, step_base + ts_off, seq, evop))
+            merged.append((k, v, step_base + ts_off, seq, evop))
+        return spark.createDataFrame(
+            rows, "k string, v double, ts long, _seq long, op string"
+        ).select("k", "v", "ts", "op", "_seq")
+
+    for i, events in enumerate(batches):
+        df = _df(events, i * 100)
+        if i == target:
+            orig = t._write_buckets
+            fired = {"n": 0}
+
+            def hooked(dfx, sv, kind="base", _o=orig, _f=fired):
+                files = _o(dfx, sv, kind)
+                _f["n"] += 1
+                if _f["n"] == 1:
+                    w.evolve_schema(
+                        [{"action": "add", "name": "extra", "type": new_type}]
+                    )
+                return files
+
+            t._write_buckets = hooked
+            try:
+                t.merge_apply(df, batch_id=f"b{i}")
+            finally:
+                t._write_buckets = orig
+        else:
+            t.merge_apply(df, batch_id=f"b{i}")
+
+    rows = t.read().collect()
+    got = {r.k: (r.v, r.ts) for r in rows}
+    assert got == _oracle(merged)
+    assert all(r.extra is None for r in rows)  # evolution visible, all-null
+    committed = t.committed_batches()
+    assert all(f"b{i}" in committed for i in range(len(batches)))
