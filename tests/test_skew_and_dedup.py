@@ -66,6 +66,46 @@ def test_minhash_finds_near_dup(spark):
     assert all(p[0] != 3 for p in got)
 
 
+def test_minhash_codegen_signatures_match_hof_shingles(spark):
+    """The exploded-index signature path (Generate + codegen projection)
+    must be bit-identical to aggregating over `_shingles`'s HOF array —
+    including the duplicate-shingle difference (min is insensitive), the
+    short-doc branch (n < k hashes the whole text), and empty text. Pinned
+    for BOTH hash functions (xxhash64 scale path, phash64 oracle twin)."""
+    import pandas as pd
+
+    from pentaho_kettle_spark.functions import dedup as D
+    from pentaho_kettle_spark.functions.portable import phash64
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (3, "repeat repeat repeat repeat repeat repeat repeat repeat"),  # dup shingles
+        (4, "short doc"),  # n < k
+        (5, ""),  # empty after normalize
+        (6, "  Mixed   CASE   and    runs	of whitespace normalize down  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in (F.xxhash64, phash64):
+        got = (
+            D.minhash_signatures_exploded(df, "text", "doc_id", 16, 5, hash_fn)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # reference: min over the HOF shingle array, per coefficient
+        sh = D._shingles(F.col("text"), 5, hash_fn)
+        ref_cols = [
+            F.array_min(
+                F.transform(sh, lambda h: (F.pmod(h, F.lit(D._MERSENNE)) * a + b) % D._MERSENNE)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(D._minhash_coeffs(16))
+        ]
+        ref = (
+            df.select("doc_id", *ref_cols)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref)
+
+
 def test_simhash_hamming_near_zero_for_near_dup(spark):
     from pentaho_kettle_spark.functions.dedup import simhash_table
 
